@@ -1,0 +1,222 @@
+"""Functional LLaMA decoder (7B/13B, LLaMA-1/2, Vicuna).
+
+TPU-native re-design of the decoder the reference inherits from HF
+`LlamaModel` (`valley/model/valley_model.py:21,249-254`):
+
+* params are an explicit pytree with **stacked layer weights** (leading axis
+  = layer) so the whole decoder is one `lax.scan` — O(1) compile time and a
+  single sharding rule per weight kind;
+* prefill and single-token decode share the block code; the KV cache is a
+  fixed-size (L, B, Smax, Hkv, D) buffer updated with
+  `dynamic_update_slice` — static shapes end to end, no recompiles across
+  requests;
+* RMSNorm/rotary/softmax run in fp32 for logit fidelity with the torch
+  reference; matmuls take bf16 inputs on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from valley_tpu.config import TextConfig
+from valley_tpu.ops.attention import mha_attention, decode_attention
+from valley_tpu.ops.rope import apply_rope, rope_cos_sin
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # (L, B, Smax, Hkv, D)
+    v: jnp.ndarray  # (L, B, Smax, Hkv, D)
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_cache(cfg: TextConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_hidden_layers, batch, max_len, cfg.kv_heads,
+             cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: TextConfig, key: jax.Array, dtype=jnp.bfloat16):
+    keys = iter(jax.random.split(key, 16))
+
+    def dense(k, fan_in, shape):
+        return (jax.random.normal(k, shape, jnp.float32)
+                * (fan_in ** -0.5)).astype(dtype)
+
+    h, f = cfg.hidden_size, cfg.intermediate_size
+    kv = cfg.kv_heads * cfg.head_dim
+    L = cfg.num_hidden_layers
+    return {
+        "embed": dense(next(keys), h, (cfg.vocab_size, h)),
+        "layers": {
+            "attn_norm": jnp.ones((L, h), dtype),
+            "wq": dense(next(keys), h, (L, h, h)),
+            "wk": dense(next(keys), h, (L, h, kv)),
+            "wv": dense(next(keys), h, (L, h, kv)),
+            "wo": dense(next(keys), h, (L, h, h)),
+            "mlp_norm": jnp.ones((L, h), dtype),
+            "w_gate": dense(next(keys), h, (L, h, f)),
+            "w_up": dense(next(keys), h, (L, h, f)),
+            "w_down": dense(next(keys), f, (L, f, h)),
+        },
+        "final_norm": jnp.ones((h,), dtype),
+        "lm_head": dense(next(keys), h, (h, cfg.vocab_size)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return normed * weight
+
+
+def _attn(lp, x, cfg: TextConfig, cos, sin, *, attn_mask=None,
+          cache_kv=None, cache_index=None, kv_valid=None, use_flash=None):
+    """Self-attention for one layer.
+
+    Without a cache: causal attention over the block (training / parity
+    eval).  With a cache: write new K/V at ``cache_index`` then attend the
+    queries against the whole cache using ``kv_valid`` (B, Smax).
+    Returns (output, (new_k_slice, new_v_slice) or updated cache tensors).
+    """
+    b, s, h = x.shape
+    q = (x @ lp["wq"]).reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
+    k = (x @ lp["wk"]).reshape(b, s, cfg.kv_heads, cfg.head_dim)
+    v = (x @ lp["wv"]).reshape(b, s, cfg.kv_heads, cfg.head_dim)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_kv is None:
+        bias = None
+        if attn_mask is not None:
+            bias = jnp.where(attn_mask[:, None, None, :] > 0, 0.0, -1e9)
+        out = mha_attention(q, k, v, bias, causal=True, use_flash=use_flash)
+        new_kv = (k, v)
+    else:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                          (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                          (0, cache_index, 0, 0))
+        if s == 1:
+            out = decode_attention(q, ck, cv, kv_valid)
+        else:
+            # Chunked prefill into a cache: causal within the chunk plus
+            # everything already valid in the cache.
+            smax = ck.shape[1]
+            q_pos = cache_index + jnp.arange(s)
+            k_pos = jnp.arange(smax)
+            causal = k_pos[None, :] <= q_pos[:, None]           # (S, Smax)
+            mask = jnp.logical_and(kv_valid[:, None, :], causal[None])
+            bias = jnp.where(mask, 0.0, -1e9)[:, None]          # (B,1,S,Smax)
+            out = mha_attention(q, ck, cv, bias, use_flash=False)
+        new_kv = (ck, cv)
+
+    out = out.reshape(b, s, h) @ lp["wo"]
+    return out, new_kv
+
+
+def _mlp(lp, x):
+    gate = jax.nn.silu((x @ lp["w_gate"]).astype(jnp.float32))
+    up = (x @ lp["w_up"]).astype(jnp.float32)
+    return (gate * up).astype(x.dtype) @ lp["w_down"]
+
+
+def _layer(lp, x, cfg, cos, sin, attn_mask, cache_kv, cache_index, kv_valid,
+           use_flash):
+    attn_out, new_kv = _attn(lp, rms_norm(x, lp["attn_norm"],
+                                          cfg.rms_norm_eps),
+                             cfg, cos, sin, attn_mask=attn_mask,
+                             cache_kv=cache_kv, cache_index=cache_index,
+                             kv_valid=kv_valid, use_flash=use_flash)
+    x = x + attn_out
+    x = x + _mlp(lp, rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps))
+    return x, new_kv
+
+
+# ---------------------------------------------------------------------------
+# Full decoder
+# ---------------------------------------------------------------------------
+
+def embed(params, input_ids: jnp.ndarray) -> jnp.ndarray:
+    return params["embed"][input_ids]
+
+
+def forward_hidden(params, cfg: TextConfig, inputs_embeds: jnp.ndarray,
+                   attn_mask: Optional[jnp.ndarray] = None,
+                   positions: Optional[jnp.ndarray] = None,
+                   cache: Optional[KVCache] = None,
+                   cache_index=0,
+                   kv_valid: Optional[jnp.ndarray] = None,
+                   remat: bool = False,
+                   use_flash: Optional[bool] = None):
+    """Run the decoder stack.  Returns (hidden, new_cache_or_None).
+
+    inputs_embeds: (B, S, H).  attn_mask: (B, S) padding mask for the
+    cacheless path.  positions: (B, S) rotary positions (defaults to
+    arange, or cache_index + arange when a cache is used).
+    """
+    b, s, _ = inputs_embeds.shape
+    if positions is None:
+        base = jnp.arange(s)
+        if cache is not None:
+            base = base + cache_index
+        positions = jnp.broadcast_to(base, (b, s))
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    layer_fn = functools.partial(_layer, cfg=cfg, cos=cos, sin=sin,
+                                 attn_mask=attn_mask,
+                                 cache_index=cache_index, kv_valid=kv_valid,
+                                 use_flash=use_flash)
+
+    def scan_body(x, layer_inputs):
+        if cache is None:
+            lp = layer_inputs
+            x, _ = layer_fn(lp, x, cache_kv=None)
+            return x, None
+        lp, ck, cv = layer_inputs
+        x, (nk, nv) = layer_fn(lp, x, cache_kv=(ck, cv))
+        return x, (nk, nv)
+
+    if remat:
+        scan_body = jax.checkpoint(scan_body,
+                                   policy=jax.checkpoint_policies.nothing_saveable)
+
+    if cache is None:
+        hidden, _ = jax.lax.scan(scan_body, inputs_embeds, params["layers"])
+        new_cache = None
+    else:
+        hidden, (nk, nv) = jax.lax.scan(
+            scan_body, inputs_embeds, (params["layers"], cache.k, cache.v))
+        new_cache = KVCache(nk, nv)
+
+    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    return hidden, new_cache
+
+
+def logits_from_hidden(params, hidden: jnp.ndarray) -> jnp.ndarray:
+    return (hidden @ params["lm_head"]).astype(jnp.float32)
+
+
+def forward(params, cfg: TextConfig, inputs_embeds, attn_mask=None,
+            remat: bool = False, use_flash=None):
+    """Training/parity forward: (B, S, H) -> fp32 logits (B, S, V)."""
+    hidden, _ = forward_hidden(params, cfg, inputs_embeds, attn_mask,
+                               remat=remat, use_flash=use_flash)
+    return logits_from_hidden(params, hidden)
