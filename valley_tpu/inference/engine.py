@@ -1,0 +1,224 @@
+"""Jit-compiled streaming inference engine.
+
+Replaces the reference's manual token-by-token decode loops with explicit
+`past_key_values` (`valley/serve/model_worker.py:243-295,371-423`,
+`valley/serve/cli.py:14-72`) with a TPU-native engine:
+
+* **static shapes everywhere** — prompts are right-padded into a small set
+  of length buckets; the KV cache is a fixed (bucket + max_new) buffer, so
+  each (bucket, frames) pair compiles exactly once and every later request
+  reuses the compiled executable;
+* prefill computes vision features + splice + full-sequence attention in
+  one jit; decode is a single-token jit with on-device sampling
+  (temperature / top-p / greedy) so only one int32 crosses the host
+  boundary per generated token;
+* keyword stopping ('###') and incremental detokenization run host-side,
+  exactly mirroring `KeywordsStoppingCriteria` (`data_util.py:40-56`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from valley_tpu.config import ValleyConfig
+from valley_tpu.models import llama, valley
+from valley_tpu.models.llama import KVCache
+
+
+@dataclasses.dataclass
+class GenerationConfig:
+    max_new_tokens: int = 1024
+    temperature: float = 1.0
+    top_p: float = 1.0
+    do_sample: bool = False
+    stop: Sequence[str] = ("###",)
+    seed: int = 0
+    stream_interval: int = 2
+
+
+def sample_token(logits: jnp.ndarray, key: jax.Array, temperature: float,
+                 top_p: float, do_sample: bool) -> jnp.ndarray:
+    """On-device sampling: greedy / temperature / nucleus.  logits: (B, V).
+
+    Mirrors the worker's `temperature < 1e-4 -> argmax` rule
+    (`model_worker.py:261-266`) plus standard top-p.
+    """
+    greedy = jnp.argmax(logits, axis=-1)
+    if not do_sample:
+        return greedy
+    # temperature/top_p stay traced so one executable serves every request
+    # (no recompile when the user moves the UI sliders).
+    scaled = logits / jnp.maximum(temperature, 1e-4)
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # Keep tokens whose exclusive cumulative prob is < top_p (top_p >= 1
+    # keeps everything).
+    cutoff_idx = jnp.sum(cum - probs < top_p, axis=-1) - 1
+    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+    filtered = jnp.where(scaled < cutoff, -1e9, scaled)
+    sampled = jax.random.categorical(key, filtered, axis=-1)
+    return jnp.where(temperature < 1e-4, greedy, sampled)
+
+
+class Engine:
+    """Holds params on device and the per-bucket compiled step functions."""
+
+    def __init__(self, cfg: ValleyConfig, params,
+                 buckets: Sequence[int] = (128, 256, 512, 1024, 2048),
+                 max_new_tokens: int = 1024,
+                 cache_dtype=jnp.bfloat16,
+                 use_flash: Optional[bool] = None):
+        self.cfg = cfg
+        self.params = params
+        self.buckets = tuple(sorted(buckets))
+        self.max_new_tokens = max_new_tokens
+        self.cache_dtype = cache_dtype
+        if use_flash is None:
+            use_flash = jax.default_backend() == "tpu"
+        self.use_flash = use_flash
+
+        self._prefill = jax.jit(
+            self._prefill_impl,
+            static_argnames=("bucket", "do_sample", "has_images"))
+        self._decode = jax.jit(
+            self._decode_impl,
+            static_argnames=("bucket", "do_sample"))
+
+    # -- jitted bodies ---------------------------------------------------
+
+    def _prefill_impl(self, params, input_ids, images, prompt_len, key,
+                      temperature, top_p, *, bucket: int, do_sample: bool,
+                      has_images: bool):
+        cfg = self.cfg
+        b = input_ids.shape[0]
+        embeds = valley.build_inputs_embeds(
+            params, cfg, input_ids, images if has_images else None)
+        cache = llama.init_cache(cfg.text, b, bucket + self.max_new_tokens,
+                                 self.cache_dtype)
+        smax = cache.max_len
+        kv_valid = (jnp.arange(smax)[None, :]
+                    < prompt_len[:, None])               # (B, Smax)
+        hidden, cache = llama.forward_hidden(
+            params["llama"], cfg.text, embeds,
+            cache=cache, cache_index=0, kv_valid=kv_valid,
+            use_flash=self.use_flash)
+        last = jnp.take_along_axis(
+            hidden, (prompt_len - 1)[:, None, None], axis=1)  # (B, 1, H)
+        logits = llama.logits_from_hidden(params["llama"], last)[:, 0]
+        tok = sample_token(logits, key, temperature, top_p, do_sample)
+        return tok, logits, cache
+
+    def _decode_impl(self, params, cache: KVCache, token, step, prompt_len,
+                     key, temperature, top_p, *, bucket: int,
+                     do_sample: bool):
+        cfg = self.cfg
+        b = token.shape[0]
+        embeds = llama.embed(params["llama"], token[:, None])  # (B, 1, H)
+        smax = cache.max_len
+        slots = jnp.arange(smax)[None, :]
+        kv_valid = jnp.logical_or(
+            slots < prompt_len[:, None],
+            jnp.logical_and(slots >= bucket, slots <= bucket + step))
+        positions = (prompt_len + step)[:, None]
+        hidden, cache = llama.forward_hidden(
+            params["llama"], cfg.text, embeds, positions=positions,
+            cache=cache, cache_index=bucket + step, kv_valid=kv_valid,
+            use_flash=False)
+        logits = llama.logits_from_hidden(params["llama"], hidden)[:, 0]
+        tok = sample_token(logits, key, temperature, top_p, do_sample)
+        return tok, logits, cache
+
+    # -- host-side loop --------------------------------------------------
+
+    def pick_bucket(self, length: int) -> int:
+        for b in self.buckets:
+            if length <= b:
+                return b
+        raise ValueError(
+            f"prompt length {length} exceeds largest bucket "
+            f"{self.buckets[-1]}")
+
+    def generate_tokens(self, input_ids: Sequence[Sequence[int]],
+                        images: Optional[np.ndarray] = None,
+                        gen: Optional[GenerationConfig] = None,
+                        eos_ids: Sequence[int] = (2,),
+                        ) -> Iterator[np.ndarray]:
+        """Yield one (B,) int32 token array per generated step."""
+        gen = gen or GenerationConfig()
+        lens = np.array([len(x) for x in input_ids], np.int32)
+        bucket = self.pick_bucket(int(lens.max()))
+        ids = np.zeros((len(input_ids), bucket), np.int32)
+        for i, row in enumerate(input_ids):
+            ids[i, :len(row)] = row
+
+        key = jax.random.key(gen.seed)
+        key, sub = jax.random.split(key)
+        has_images = images is not None
+        if has_images:
+            images = jnp.asarray(images)
+        else:
+            # static-shape placeholder; never touched when has_images=False
+            v = self.cfg.vision
+            images = jnp.zeros((len(input_ids), 1, 3, v.image_size,
+                                v.image_size), jnp.bfloat16)
+
+        tok, _logits, cache = self._prefill(
+            self.params, jnp.asarray(ids), images, jnp.asarray(lens), sub,
+            gen.temperature, gen.top_p, bucket=bucket,
+            do_sample=gen.do_sample, has_images=has_images)
+
+        max_new = min(gen.max_new_tokens, self.max_new_tokens)
+        alive = np.ones(len(input_ids), bool)
+        for step in range(max_new):
+            tok_np = np.asarray(tok)
+            yield tok_np
+            alive &= ~np.isin(tok_np, np.asarray(eos_ids))
+            if not alive.any():
+                return
+            if step + 1 >= max_new:
+                return
+            key, sub = jax.random.split(key)
+            tok, _logits, cache = self._decode(
+                self.params, cache, tok, jnp.int32(step),
+                jnp.asarray(lens), sub, gen.temperature, gen.top_p,
+                bucket=bucket, do_sample=gen.do_sample)
+
+    def generate(self, tokenizer, input_ids: Sequence[int],
+                 images: Optional[np.ndarray] = None,
+                 gen: Optional[GenerationConfig] = None,
+                 ) -> Iterator[str]:
+        """Single-prompt streaming generation: yields the accumulated text
+        after every `stream_interval` tokens and at the end, with keyword
+        stopping (reference streams `{"text": ...}` chunks every 2 tokens,
+        `model_worker.py:406-419`)."""
+        gen = gen or GenerationConfig()
+        eos = [getattr(tokenizer, "eos_token_id", 2) or 2]
+        out_tokens: list[int] = []
+        text = ""
+        for step, tok in enumerate(self.generate_tokens(
+                [list(input_ids)], images, gen, eos_ids=eos)):
+            out_tokens.append(int(tok[0]))
+            if (step + 1) % gen.stream_interval == 0:
+                text = tokenizer.decode(out_tokens, skip_special_tokens=True)
+                stopped, text = _apply_stops(text, gen.stop)
+                yield text
+                if stopped:
+                    return
+        text = tokenizer.decode(out_tokens, skip_special_tokens=True)
+        _, text = _apply_stops(text, gen.stop)
+        yield text
+
+
+def _apply_stops(text: str, stops: Sequence[str]) -> tuple[bool, str]:
+    for s in stops:
+        idx = text.find(s)
+        if idx >= 0:
+            return True, text[:idx]
+    return False, text

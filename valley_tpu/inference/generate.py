@@ -1,0 +1,114 @@
+"""High-level offline inference API: prompt building, response cleanup,
+`completion()` — parity with `ValleyLlamaForCausalLM.build_inputs /
+process_response / completion` (`valley/model/valley_model.py:381-439`).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from valley_tpu.config import ValleyConfig
+from valley_tpu.constants import (DEFAULT_IM_END_TOKEN,
+                                  DEFAULT_IM_START_TOKEN,
+                                  DEFAULT_IMAGE_PATCH_TOKEN,
+                                  DEFAULT_NUM_FRAMES,
+                                  DEFAULT_VI_END_TOKEN,
+                                  DEFAULT_VI_START_TOKEN,
+                                  DEFAULT_VIDEO_FRAME_TOKEN)
+from valley_tpu.inference.engine import Engine, GenerationConfig
+
+
+def media_replace_token(num_patches: int = 256,
+                        num_frames: int = DEFAULT_NUM_FRAMES) -> str:
+    """The expansion of <video>/<image> into marker tokens
+    (`valley_model.py:387-389`); patch/frame counts are config-derived
+    instead of the reference's hardcoded 256/8."""
+    return (DEFAULT_IM_START_TOKEN
+            + DEFAULT_IMAGE_PATCH_TOKEN * num_patches
+            + DEFAULT_IM_END_TOKEN
+            + DEFAULT_VI_START_TOKEN
+            + DEFAULT_VIDEO_FRAME_TOKEN * num_frames
+            + DEFAULT_VI_END_TOKEN)
+
+
+def build_prompt(messages: Sequence[dict], num_patches: int = 256,
+                 num_frames: int = DEFAULT_NUM_FRAMES) -> str:
+    """openai-style messages -> '###'-separated Valley prompt.
+
+    Accepts both 'assistant' and the reference's 'assistent' spelling
+    (`valley_model.py:394`, SURVEY §7 quirk list).
+    """
+    replace = media_replace_token(num_patches, num_frames)
+    parts: List[str] = []
+    for m in messages:
+        role, content = m["role"], m["content"]
+        if role == "system":
+            parts.append(content + "\n\n" + "###")
+        elif role in ("user", "human"):
+            if "<video>" in content or "<image>" in content:
+                content = content.replace("<video>", replace)
+                content = content.replace("<image>", replace)
+                parts.append(" Human: " + content + " \n###")
+            else:
+                parts.append(" Human: " + content + " \n###")
+        elif role in ("assistant", "assistent"):
+            parts.append(" Assistent: " + content + " \n###")
+        else:
+            raise ValueError(
+                'Role must be "assistant", "user"/"human", or "system", '
+                f"got {role!r}")
+    prompt = "".join(parts)
+    if DEFAULT_IM_START_TOKEN not in prompt:
+        raise ValueError("You need to specify the <video> token in the query")
+    return prompt
+
+
+def process_response(outputs: Sequence[str]) -> List[str]:
+    """Strip '###' separators and role prefixes from generations
+    (`valley_model.py:404-422`)."""
+    result = []
+    for out in outputs:
+        while True:
+            cur_len = len(out)
+            out = out.strip()
+            for pattern in ["###", "Assistant:", "Response:", "Valley:",
+                            "Assistent:"]:
+                if out.startswith(pattern):
+                    out = out[len(pattern):].strip()
+            if len(out) == cur_len:
+                break
+        idx = out.find("###")
+        if idx < 0:
+            idx = len(out)
+        result.append(out[:idx].strip())
+    return result
+
+
+def completion(engine: Engine, tokenizer, video: Optional[str],
+               messages: Sequence[dict],
+               gen: Optional[GenerationConfig] = None,
+               frames: Optional[np.ndarray] = None) -> List[str]:
+    """One-shot video/image Q&A (`valley_model.py:424-439`).
+
+    ``video`` is a path decoded via the data pipeline; alternatively pass
+    preprocessed ``frames`` (T, 3, H, W) directly.
+    """
+    cfg: ValleyConfig = engine.cfg
+    num_frames = frames.shape[0] if frames is not None else DEFAULT_NUM_FRAMES
+    prompt = build_prompt(messages, cfg.num_patches, num_frames)
+    input_ids = tokenizer.encode(prompt)
+
+    if frames is None:
+        if video is None:
+            raise ValueError("need a video path or preprocessed frames")
+        from valley_tpu.data.video import load_video
+        frames = load_video(video, fixed_frame_number=num_frames)
+    images = frames[None]  # (1, T, 3, H, W)
+
+    gen = gen or GenerationConfig()
+    text = ""
+    for text in engine.generate(tokenizer, input_ids, images, gen):
+        pass
+    return process_response([text])

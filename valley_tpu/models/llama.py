@@ -117,15 +117,16 @@ def _attn(lp, x, cfg: TextConfig, cos, sin, *, attn_mask=None,
         if s == 1:
             out = decode_attention(q, ck, cv, kv_valid)
         else:
-            # Chunked prefill into a cache: causal within the chunk plus
-            # everything already valid in the cache.
-            smax = ck.shape[1]
-            q_pos = cache_index + jnp.arange(s)
-            k_pos = jnp.arange(smax)
-            causal = k_pos[None, :] <= q_pos[:, None]           # (S, Smax)
-            mask = jnp.logical_and(kv_valid[:, None, :], causal[None])
-            bias = jnp.where(mask, 0.0, -1e9)[:, None]          # (B,1,S,Smax)
-            out = mha_attention(q, ck, cv, bias, use_flash=False)
+            # Prefill: the cache beyond this chunk is empty (engine prefills
+            # at cache_index=0), so attention runs within the chunk only —
+            # causal + the chunk part of the validity mask.  This keeps the
+            # logits S x S (flash-eligible) instead of S x Smax.
+            chunk_valid = kv_valid[:, :s] if kv_valid is not None else None
+            bias = None
+            if chunk_valid is not None:
+                bias = jnp.where(chunk_valid[:, None, None, :], 0.0, -1e9)
+            out = mha_attention(q, k, v, bias, causal=True,
+                                use_flash=use_flash)
         new_kv = (ck, cv)
 
     out = out.reshape(b, s, h) @ lp["wo"]
