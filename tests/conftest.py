@@ -3,7 +3,7 @@ sharding paths are exercised without TPU hardware (SURVEY.md §4(d))."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: shell may set axon/tpu
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,4 +11,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# jax may have been imported (and JAX_PLATFORMS captured) before this
+# conftest runs; force the config too — backends initialize lazily, so this
+# takes effect as long as no array op has run yet.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,190 @@
+"""Training: sharded step on the 8-device CPU mesh, freezing semantics,
+LoRA, schedule, checkpoint save/resume."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from valley_tpu import config as C
+from valley_tpu.data.dataset import DataCollatorForSupervisedDataset, DataLoader
+from valley_tpu.models import valley
+from valley_tpu.parallel import create_mesh, shard_params
+from valley_tpu.parallel.sharding import param_specs
+from valley_tpu.train import lora as lora_lib
+from valley_tpu.train.trainer import (TrainConfig, Trainer, label_params,
+                                      make_optimizer)
+
+
+class FakeDataset:
+    """Synthetic supervised samples (text-only + video-like)."""
+
+    def __init__(self, cfg, n=8, seq=32, frames=2):
+        self.items = []
+        rng = np.random.default_rng(0)
+        tok = cfg.tokens
+        p = cfg.num_patches
+        for i in range(n):
+            ids = rng.integers(5, 400, size=seq)
+            if i % 2 == 0:
+                span = [tok.im_start] + [tok.im_patch] * p + [tok.im_end] + \
+                    [tok.vi_start] + [tok.vi_frame] * frames + [tok.vi_end]
+                ids[1:1 + len(span)] = span
+                image = rng.standard_normal(
+                    (frames, 3, cfg.vision.image_size,
+                     cfg.vision.image_size)).astype(np.float32)
+            else:
+                image = np.zeros((1, 3, cfg.vision.image_size,
+                                  cfg.vision.image_size), np.float32)
+            labels = ids.copy()
+            labels[:seq // 2] = -100
+            self.items.append(dict(input_ids=ids, labels=labels,
+                                   image=image))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return C.valley_tiny()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return valley.init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+
+
+def make_loader(cfg, batch=4):
+    ds = FakeDataset(cfg)
+    coll = DataCollatorForSupervisedDataset(pad_token_id=0,
+                                            pad_to_multiple=16)
+    return DataLoader(ds, batch, coll, seed=0)
+
+
+def test_mesh_and_param_sharding(params):
+    mesh = create_mesh(data=1, fsdp=4, model=2)
+    assert mesh.devices.shape == (1, 4, 2)
+    sharded = shard_params(mesh, params)
+    wq = sharded["llama"]["layers"]["wq"]
+    assert wq.sharding.spec == jax.sharding.PartitionSpec(
+        None, "fsdp", "model")
+    # every param leaf got a spec
+    specs = param_specs(params)
+    assert jax.tree.structure(specs, is_leaf=lambda x: isinstance(
+        x, jax.sharding.PartitionSpec)) == jax.tree.structure(params)
+
+
+def test_label_params_stage1(cfg, params):
+    tc = TrainConfig(freeze_backbone=True, tune_mm_mlp_adapter=True)
+    labels = label_params(params, tc)
+    assert labels["projector"]["w"] == "base"
+    assert labels["llama"]["embed"] == "base"       # input embeds trainable
+    assert labels["llama"]["lm_head"] == "frozen"   # output embeds frozen
+    assert labels["llama"]["layers"]["wq"] == "frozen"
+    assert all(v == "frozen" for v in jax.tree.leaves(labels["vision"]))
+
+
+def test_label_params_lora(cfg, params):
+    p = lora_lib.add_lora(params, jax.random.key(1), r=4, dtype=jnp.float32)
+    tc = TrainConfig(lora=True, tune_mm_mlp_adapter=True)
+    labels = label_params(p, tc)
+    assert labels["llama"]["layers"]["wq"] == "frozen"
+    assert labels["llama"]["layers"]["wq_lora_a"] == "lora"
+    assert labels["projector"]["w"] == "base"
+
+
+def test_lora_zero_init_preserves_forward(cfg, params):
+    ids = jnp.asarray(np.random.default_rng(0).integers(5, 400, (1, 16)))
+    base = valley.forward(params, cfg, ids)
+    p = lora_lib.add_lora(params, jax.random.key(1), r=4, dtype=jnp.float32)
+    with_lora = valley.forward(p, cfg, ids)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(with_lora),
+                               atol=1e-5)
+
+
+def test_lora_merge_matches_runtime_delta(cfg, params):
+    p = lora_lib.add_lora(params, jax.random.key(1), r=4, dtype=jnp.float32)
+    # make B nonzero so the delta is active
+    p["llama"]["layers"]["wq_lora_b"] = jax.random.normal(
+        jax.random.key(2), p["llama"]["layers"]["wq_lora_b"].shape) * 0.02
+    ids = jnp.asarray(np.random.default_rng(0).integers(5, 400, (1, 16)))
+    runtime = valley.forward(p, cfg, ids)
+    merged = lora_lib.merge_lora(p)
+    assert "wq_lora_a" not in merged["llama"]["layers"]
+    static = valley.forward(merged, cfg, ids)
+    np.testing.assert_allclose(np.asarray(runtime), np.asarray(static),
+                               atol=2e-4)
+
+
+def test_train_loop_loss_decreases(cfg, params, tmp_path):
+    tc = TrainConfig(output_dir=str(tmp_path / "out"), learning_rate=1e-3,
+                     freeze_backbone=True, tune_mm_mlp_adapter=True,
+                     num_train_epochs=3, per_device_train_batch_size=4,
+                     gradient_checkpointing=False, save_steps=0,
+                     mesh_data=1, mesh_fsdp=4, mesh_model=2)
+    loader = make_loader(cfg)
+    trainer = Trainer(cfg, tc, jax.tree.map(jnp.copy, params), loader)
+    first_loss, last_loss = None, None
+    trainer.train(resume=False)
+    with open(trainer._metrics_path) as f:
+        lines = [eval(line.replace("null", "None")) for line in f]
+    first_loss, last_loss = lines[0]["loss"], lines[-1]["loss"]
+    assert last_loss < first_loss, (first_loss, last_loss)
+
+
+def test_frozen_params_unchanged_after_step(cfg, params, tmp_path):
+    tc = TrainConfig(output_dir=str(tmp_path / "out2"), learning_rate=1e-2,
+                     freeze_backbone=True, tune_mm_mlp_adapter=True,
+                     num_train_epochs=1, per_device_train_batch_size=8,
+                     gradient_checkpointing=False, save_steps=0,
+                     mesh_data=1, mesh_fsdp=8, mesh_model=1)
+    loader = make_loader(cfg, batch=8)
+    p0 = jax.tree.map(jnp.copy, params)
+    trainer = Trainer(cfg, tc, jax.tree.map(jnp.copy, params), loader)
+    trainer.train(resume=False)
+    final = jax.device_get(trainer.state.params)
+    np.testing.assert_array_equal(np.asarray(final["llama"]["layers"]["wq"]),
+                                  np.asarray(p0["llama"]["layers"]["wq"]))
+    np.testing.assert_array_equal(np.asarray(final["llama"]["lm_head"]),
+                                  np.asarray(p0["llama"]["lm_head"]))
+    assert not np.array_equal(np.asarray(final["projector"]["w"]),
+                              np.asarray(p0["projector"]["w"]))
+
+
+def test_checkpoint_save_and_resume(cfg, params, tmp_path):
+    out = str(tmp_path / "ckpt")
+    tc = TrainConfig(output_dir=out, learning_rate=1e-3,
+                     freeze_backbone=True, tune_mm_mlp_adapter=True,
+                     num_train_epochs=1, per_device_train_batch_size=4,
+                     gradient_checkpointing=False, save_steps=1,
+                     save_total_limit=2,
+                     mesh_data=1, mesh_fsdp=4, mesh_model=2)
+    loader = make_loader(cfg)
+    trainer = Trainer(cfg, tc, jax.tree.map(jnp.copy, params), loader)
+    steps = trainer.train(resume=False)
+    assert steps == 2  # 8 samples / batch 4
+    ckpts = os.listdir(out)
+    assert "checkpoint-2" in ckpts
+
+    # a fresh trainer resumes at the saved step
+    trainer2 = Trainer(cfg, tc, jax.tree.map(jnp.copy, params), loader)
+    resumed = trainer2.maybe_resume()
+    assert resumed == 2
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(trainer2.state.params["projector"]["w"])),
+        np.asarray(jax.device_get(trainer.state.params["projector"]["w"])),
+        rtol=1e-6)
+
+
+def test_optimizer_multistep_accumulation(cfg, params):
+    tc = TrainConfig(gradient_accumulation_steps=4)
+    tx, _sched, _labels = make_optimizer(params, tc, total_steps=10)
+    state = tx.init(params)
+    assert state is not None

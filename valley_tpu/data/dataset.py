@@ -1,0 +1,280 @@
+"""Supervised multimodal dataset + collator.
+
+Parity with `valley/data/dataset.py`: `HybridDataset` merges an image JSON,
+a video JSON and an optional "fashion" JSON, shuffles once
+(`dataset.py:20-51`), and per item handles multi-image lists / single image
+/ video / text-only with per-source video subfolders (`:56-153`); failures
+yield ``('fail', sources)`` tuples the collator drops (`:150-153,163-168`).
+
+TPU-first differences:
+* pure numpy (no torch): the collator right-pads ids/labels and, instead
+  of the reference's ragged image *lists* (`:185-190`), pads the frame
+  axis to a common T and emits a ``frame_mask`` — static shapes for jit;
+* optional ``pad_to_multiple`` sequence padding so XLA sees a small set of
+  shapes instead of one per batch;
+* image preprocessing is the library's own CLIP pipeline (resize shortest
+  side + center crop + normalize) — no HF processor dependency on the hot
+  path.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import logging
+import random
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from valley_tpu.constants import IGNORE_INDEX
+from valley_tpu.data import transforms as T
+from valley_tpu.data.preprocess import (preprocess,
+                                        preprocess_multimodal_multiimage)
+from valley_tpu.data.video import load_video
+
+logger = logging.getLogger(__name__)
+
+
+def preprocess_image(image, crop_size: int = 224,
+                     scale_size: int = 224) -> np.ndarray:
+    """PIL image / HxWx3 array -> (3, H, W) CLIP-normalized fp32 (the
+    equivalent of `CLIPImageProcessor.preprocess` on the hot path)."""
+    frame = np.asarray(image.convert("RGB") if hasattr(image, "convert")
+                       else image)
+    clip = T.Compose([
+        T.Resize(scale_size),
+        T.CenterCrop(crop_size),
+        T.ClipToTensor(channel_nb=3),
+        T.Normalize(),
+    ])([frame])
+    return clip[:, 0]  # (3, H, W)
+
+
+class HybridDataset:
+    """Map-style dataset over merged conversation JSONs."""
+
+    def __init__(self, data_path: Optional[str], video_path: Optional[str],
+                 tokenizer, multimodal_cfg: dict,
+                 fashion_data_path: Optional[str] = None,
+                 seed: int = 42):
+        logger.warning("Loading data...")
+        limit = 10 if multimodal_cfg.get("fast_epoch") else None
+
+        def _load(path, lim):
+            if path is None:
+                return []
+            with open(path) as f:
+                data = json.load(f)
+            return data[:lim] if lim else data
+
+        list_data = _load(data_path, limit)
+        list_video = _load(video_path, limit)
+        list_fashion = _load(fashion_data_path,
+                             100 if limit else None) \
+            if multimodal_cfg.get("use_fashion") else []
+        self.list_data_dict: List[dict] = list_video + list_data + \
+            list_fashion
+        random.Random(seed).shuffle(self.list_data_dict)
+        self.tokenizer = tokenizer
+        self.multimodal_cfg = multimodal_cfg
+        self.header_mode = multimodal_cfg.get("conv_mode", "v1")
+        self.only_mask_system = multimodal_cfg.get("only_mask_system", False)
+
+    def __len__(self) -> int:
+        return len(self.list_data_dict)
+
+    def __getitem__(self, i: int):
+        entry = self.list_data_dict[i]
+        try:
+            return self._get(entry)
+        except Exception as e:  # parity: failures become drop-markers
+            logger.warning("sample %s failed: %s", entry.get("id", i), e)
+            return ("fail", entry)
+
+    # -- per-modality paths ---------------------------------------------
+
+    def _get(self, entry: dict) -> Dict[str, Any]:
+        cfg = self.multimodal_cfg
+        sources = [entry]
+        image = None
+
+        if "image" in entry:
+            from PIL import Image
+
+            patch = cfg.get("patch_size", 14)
+            crop = cfg.get("crop_size", 224)
+            if isinstance(entry["image"], list):
+                pil = [Image.open(f) for f in entry["image"]]
+                image = np.stack([preprocess_image(p, crop_size=crop,
+                                                   scale_size=crop)
+                                  for p in pil])
+                cur_token_len = (image.shape[2] // patch) * \
+                    (image.shape[3] // patch)
+                num_image = image.shape[0]
+            else:
+                image_file = entry["image"]
+                folder = cfg.get("image_folder") or "."
+                if "train2014" in folder:
+                    image_file = "COCO_train2014_" + image_file
+                pil = Image.open(f"{folder}/{image_file}")
+                if cfg.get("image_aspect_ratio") == "keep":
+                    max_hw, min_hw = max(pil.size), min(pil.size)
+                    aspect = max_hw / min_hw
+                    shortest = int(min(448 / aspect, 224))
+                    arr = preprocess_image(pil, crop_size=shortest,
+                                           scale_size=shortest)
+                else:
+                    arr = preprocess_image(pil, crop_size=crop,
+                                           scale_size=crop)
+                image = arr[None]  # (1, 3, H, W)
+                cur_token_len = (image.shape[2] // patch) * \
+                    (image.shape[3] // patch)
+                num_image = 1
+            sources = preprocess_multimodal_multiimage(
+                copy.deepcopy([e["conversations"] for e in sources]),
+                cfg, cur_token_len, num_image)
+        elif "video" in entry:
+            video_file = entry["video"] if ".mp4" in entry["video"] \
+                else entry["video"] + ".mp4"
+            source_dir = entry.get("source", "webvid")
+            folder = cfg.get("video_folder") or "."
+            video = load_video(f"{folder}/{source_dir}/{video_file}",
+                               fixed_frame_number=cfg.get("num_frames", 8),
+                               crop_size=cfg.get("crop_size", 224),
+                               scale_size=cfg.get("scale_size", 256))
+            image = np.transpose(video, (1, 0, 2, 3))  # (T, 3, H, W)
+            patch = cfg.get("patch_size", 14)
+            cur_token_len = (image.shape[2] // patch) * \
+                (image.shape[3] // patch)
+            sources = preprocess_multimodal_multiimage(
+                copy.deepcopy([e["conversations"] for e in sources]),
+                cfg, cur_token_len, image.shape[0])
+        else:
+            sources = copy.deepcopy([e["conversations"] for e in sources])
+
+        data_dict = preprocess(sources, self.tokenizer, self.header_mode,
+                               self.only_mask_system)
+        out = dict(input_ids=data_dict["input_ids"][0],
+                   labels=data_dict["labels"][0])
+        if image is not None:
+            out["image"] = image.astype(np.float32)
+        elif cfg.get("is_multimodal"):
+            size = cfg.get("crop_size", 224)
+            out["image"] = np.zeros((1, 3, size, size), np.float32)
+        return out
+
+
+@dataclass
+class DataCollatorForSupervisedDataset:
+    """Right-pad ids/labels, build the attention mask, frame-pad images."""
+
+    pad_token_id: int = 0
+    pad_to_multiple: int = 64
+    max_length: Optional[int] = 2048
+
+    def __call__(self, instances: Sequence[Any]) -> Dict[str, np.ndarray]:
+        instances = [x for x in instances if not isinstance(x, tuple)]
+        if not instances:
+            raise ValueError("all samples in the batch failed to load")
+
+        seq = max(len(x["input_ids"]) for x in instances)
+        if self.pad_to_multiple:
+            m = self.pad_to_multiple
+            seq = (seq + m - 1) // m * m
+        if self.max_length:
+            seq = min(seq, self.max_length)
+
+        b = len(instances)
+        input_ids = np.full((b, seq), self.pad_token_id, np.int32)
+        labels = np.full((b, seq), IGNORE_INDEX, np.int32)
+        attention_mask = np.zeros((b, seq), np.int32)
+        for i, inst in enumerate(instances):
+            ids = np.asarray(inst["input_ids"])[:seq]
+            lb = np.asarray(inst["labels"])[:seq]
+            input_ids[i, :len(ids)] = ids
+            labels[i, :len(lb)] = lb
+            attention_mask[i, :len(ids)] = 1
+
+        batch = dict(input_ids=input_ids, labels=labels,
+                     attention_mask=attention_mask)
+
+        if any("image" in inst for inst in instances):
+            tmax = max(inst["image"].shape[0] for inst in instances
+                       if "image" in inst)
+            shape = next(inst["image"].shape[1:] for inst in instances
+                         if "image" in inst)
+            images = np.zeros((b, tmax) + tuple(shape), np.float32)
+            frame_mask = np.zeros((b, tmax), bool)
+            for i, inst in enumerate(instances):
+                img = inst.get("image")
+                if img is None:
+                    continue
+                images[i, :img.shape[0]] = img
+                frame_mask[i, :img.shape[0]] = True
+            batch["images"] = images
+            batch["frame_mask"] = frame_mask
+        return batch
+
+
+def make_video_supervised_data_module(tokenizer, data_args) -> Dict:
+    """Build dataset + collator (`dataset.py:195-220`).  ``data_args`` is
+    any object with the reference's DataArguments attributes."""
+    g = lambda k, d=None: getattr(data_args, k, d)
+    train_dataset = HybridDataset(
+        g("data_path"), g("video_data_path"), tokenizer,
+        dict(
+            conv_mode=g("conv_mode", "v1"),
+            only_mask_system=g("only_mask_system", False),
+            fast_epoch=g("fast_epoch", False),
+            use_fashion=g("use_fashion", False),
+            multi_image=g("multi_image", True),
+            num_image=g("num_image", 4),
+            is_multimodal=g("is_multimodal", False),
+            image_token_len=g("image_token_len", 0),
+            image_folder=g("image_folder"),
+            video_folder=g("video_folder"),
+            image_aspect_ratio=g("image_aspect_ratio", "square"),
+            use_im_start_end=g("mm_use_im_start_end", False),
+            num_frames=g("num_frames", 8),
+            crop_size=g("crop_size", 224),
+            scale_size=g("scale_size", 256),
+            patch_size=g("patch_size", 14),
+        ),
+        fashion_data_path=g("fashion_data_path"))
+    pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
+    collator = DataCollatorForSupervisedDataset(
+        pad_token_id=pad_id,
+        max_length=getattr(tokenizer, "model_max_length", 2048))
+    return dict(train_dataset=train_dataset, eval_dataset=None,
+                data_collator=collator)
+
+
+class DataLoader:
+    """Minimal shuffling batch iterator (host-side, numpy)."""
+
+    def __init__(self, dataset, batch_size: int, collator, shuffle=True,
+                 seed: int = 0, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collator = collator
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def epoch(self, epoch_idx: int = 0):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch_idx).shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start:start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            yield self.collator([self.dataset[int(i)] for i in idx])

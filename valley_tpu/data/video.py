@@ -1,0 +1,171 @@
+"""Video decoding and frame sampling.
+
+Replaces the reference's decord-based `load_video`
+(`valley/util/data_util.py:249-303`) with a host-side C++-backed decode
+chain: the `valley_tpu` native preprocessing extension when built
+(`valley_tpu/native`), else OpenCV's FFMPEG-backed `VideoCapture`, else
+imageio.  Sampling semantics are identical: ``fixed`` mode takes
+``np.linspace(0, N-1, k)`` frame indices (`data_util.py:263-266`), ``fps``
+mode strides by round(avg_fps)/fps_number (`:267-271`); a directory of
+frame images is also supported (`:283-302`).  Output: (C, T, H, W) fp32,
+resize-256 / centercrop-224 / CLIP-normalized.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from valley_tpu.data import transforms as T
+
+
+def _decode_indices_cv2(path: str, indices: np.ndarray) -> List[np.ndarray]:
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video: {path}")
+    frames = {}
+    want = sorted(set(int(i) for i in indices))
+    pos = 0
+    wi = 0
+    # Sequential decode grabbing wanted frames — avoids unreliable seeks.
+    while wi < len(want):
+        ok = cap.grab()
+        if not ok:
+            break
+        if pos == want[wi]:
+            ok, frame = cap.retrieve()
+            if not ok:
+                break
+            frames[pos] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            wi += 1
+        pos += 1
+    cap.release()
+    if not frames:
+        raise IOError(f"no frames decoded from {path}")
+    last = frames[max(frames)]
+    return [frames.get(int(i), last) for i in indices]
+
+
+def _video_meta_cv2(path: str) -> tuple[int, float]:
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video: {path}")
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    cap.release()
+    if n <= 0:
+        # Some containers misreport; count by decoding.
+        cap = cv2.VideoCapture(path)
+        n = 0
+        while cap.grab():
+            n += 1
+        cap.release()
+    return n, fps
+
+
+def sample_indices(video_len: int, frame_mode: str = "fixed",
+                   fixed_frame_number: int = 8, fps: float = 30.0,
+                   fps_number: float = 0.5) -> np.ndarray:
+    if frame_mode == "fixed":
+        return np.linspace(0, video_len - 1,
+                           fixed_frame_number).astype(np.int64)
+    if frame_mode == "fps":
+        offset = int(round(fps) / fps_number)
+        return np.arange(0, video_len, max(offset, 1), dtype=np.int64)
+    raise ValueError('frame_mode must be "fixed" or "fps"')
+
+
+def hot_path_transform(crop_size: int = 224, scale_size: int = 256):
+    """The load_video preprocessing pipeline (`data_util.py:274-281`)."""
+    return T.Compose([
+        T.Resize(scale_size),
+        T.CenterCrop(crop_size),
+        T.ClipToTensor(channel_nb=3),
+        T.Normalize(mean=T.CLIP_MEAN, std=T.CLIP_STD),
+    ])
+
+
+def load_video(path: str,
+               image_processor=None,
+               frame_mode: str = "fixed",
+               fixed_frame_number: int = 8,
+               fps_number: float = 0.5,
+               frame_process_method: str = "centercrop",
+               crop_size: int = 224,
+               scale_size: int = 256) -> np.ndarray:
+    """Decode + sample + preprocess a video file or frame directory.
+
+    Returns (C, T, H, W) fp32 — same layout as the reference (callers
+    permute to (T, C, H, W) for the model, `dataset.py:122`).
+    """
+    if os.path.isfile(path):
+        frames = _load_file(path, frame_mode, fixed_frame_number, fps_number)
+        return hot_path_transform(crop_size, scale_size)(frames)
+
+    # Directory of frame images (`data_util.py:283-302`).
+    frame_paths = sorted(Path(path).rglob("*"))
+    frame_paths = [p for p in frame_paths if p.is_file()]
+    if not frame_paths:
+        raise IOError(f"no frames found under {path}")
+    if frame_mode == "fixed":
+        idx = np.linspace(0, len(frame_paths) - 1,
+                          fixed_frame_number).astype(np.int64)
+        frame_paths = [frame_paths[int(i)] for i in idx]
+    elif frame_mode == "fps":
+        raise ValueError("A frame folder does not support fps mode")
+    else:
+        raise ValueError('frame_mode must be "fixed" or "fps"')
+
+    from PIL import Image
+
+    frames = [np.asarray(Image.open(str(p)).convert("RGB"))
+              for p in frame_paths]
+    if frame_process_method == "resize":
+        min_len = min(frames[0].shape[:2])
+        frames = [T._resize_frame(f, (min_len, min_len)) for f in frames]
+    if image_processor is not None:
+        import torch  # HF processors return torch tensors
+
+        pixel = image_processor.preprocess(
+            [Image.fromarray(f) for f in frames],
+            return_tensors="pt")["pixel_values"]
+        return np.transpose(np.asarray(pixel), (1, 0, 2, 3))
+    return hot_path_transform(crop_size, scale_size)(frames)
+
+
+def _load_file(path: str, frame_mode: str, fixed_frame_number: int,
+               fps_number: float) -> List[np.ndarray]:
+    # Native C++ extension first (decode + sample in one pass).
+    try:
+        from valley_tpu.native import video_decode  # type: ignore
+
+        return video_decode.decode_uniform(path, frame_mode,
+                                           fixed_frame_number, fps_number)
+    except ImportError:
+        pass
+    try:
+        n, fps = _video_meta_cv2(path)
+        idx = sample_indices(n, frame_mode, fixed_frame_number, fps,
+                             fps_number)
+        return _decode_indices_cv2(path, idx)
+    except ImportError:
+        pass
+    import imageio.v3 as iio
+
+    vid = np.asarray(iio.imread(path))
+    idx = sample_indices(len(vid), frame_mode, fixed_frame_number, 30.0,
+                         fps_number)
+    return [vid[int(i)] for i in np.clip(idx, 0, len(vid) - 1)]
+
+
+def load_video_tchw(path: str, **kw) -> np.ndarray:
+    """(T, C, H, W) convenience layout used by the model
+    (`dataset.py:122` permute)."""
+    return np.transpose(load_video(path, **kw), (1, 0, 2, 3))

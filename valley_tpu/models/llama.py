@@ -86,6 +86,18 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     return normed * weight
 
 
+def _proj(lp, name: str, x: jnp.ndarray) -> jnp.ndarray:
+    """x @ W plus the LoRA low-rank delta when adapter factors are present
+    (frozen base + trainable A/B — the param-tree-surgery equivalent of
+    peft's target_modules, reference `train.py:153-161`)."""
+    out = x @ lp[name]
+    a = lp.get(name + "_lora_a")
+    if a is not None:
+        delta = (x @ a) @ lp[name + "_lora_b"]
+        out = out + delta * lp["lora_scale"][0, 0]
+    return out
+
+
 def _attn(lp, x, cfg: TextConfig, cos, sin, *, attn_mask=None,
           cache_kv=None, cache_index=None, kv_valid=None, use_flash=None):
     """Self-attention for one layer.
@@ -96,9 +108,10 @@ def _attn(lp, x, cfg: TextConfig, cos, sin, *, attn_mask=None,
     Returns (output, (new_k_slice, new_v_slice) or updated cache tensors).
     """
     b, s, h = x.shape
-    q = (x @ lp["wq"]).reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
-    k = (x @ lp["wk"]).reshape(b, s, cfg.kv_heads, cfg.head_dim)
-    v = (x @ lp["wv"]).reshape(b, s, cfg.kv_heads, cfg.head_dim)
+    q = _proj(lp, "wq", x).reshape(b, s, cfg.num_attention_heads,
+                                   cfg.head_dim)
+    k = _proj(lp, "wk", x).reshape(b, s, cfg.kv_heads, cfg.head_dim)
+    v = _proj(lp, "wv", x).reshape(b, s, cfg.kv_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -129,14 +142,14 @@ def _attn(lp, x, cfg: TextConfig, cos, sin, *, attn_mask=None,
                                 use_flash=use_flash)
         new_kv = (ck, cv)
 
-    out = out.reshape(b, s, h) @ lp["wo"]
+    out = _proj(lp, "wo", out.reshape(b, s, h))
     return out, new_kv
 
 
 def _mlp(lp, x):
-    gate = jax.nn.silu((x @ lp["w_gate"]).astype(jnp.float32))
-    up = (x @ lp["w_up"]).astype(jnp.float32)
-    return (gate * up).astype(x.dtype) @ lp["w_down"]
+    gate = jax.nn.silu(_proj(lp, "w_gate", x).astype(jnp.float32))
+    up = _proj(lp, "w_up", x).astype(jnp.float32)
+    return _proj(lp, "w_down", (gate * up).astype(x.dtype))
 
 
 def _layer(lp, x, cfg, cos, sin, attn_mask, cache_kv, cache_index, kv_valid,

@@ -80,10 +80,11 @@ def _post_norm_ln(x, scale, bias, eps=1e-5):
     return ((xf - mean) * jax.lax.rsqrt(var + eps)) * scale + bias
 
 
-def _encoder_layer_post_norm(tp, x, num_heads: int):
+def _encoder_layer_post_norm(tp, x, num_heads: int, key_mask=None):
     """torch nn.TransformerEncoderLayer with norm_first=False, eval mode.
 
-    x: (B, T, H) fp32.
+    x: (B, T, H) fp32.  ``key_mask``: optional (T,) bool — padded time
+    steps are excluded as attention keys.
     """
     b, t, h = x.shape
     d = h // num_heads
@@ -94,6 +95,8 @@ def _encoder_layer_post_norm(tp, x, num_heads: int):
     k = k.reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (d ** -0.5)
+    if key_mask is not None:
+        logits = jnp.where(key_mask[None, None, None, :], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, h)
@@ -107,30 +110,59 @@ def _encoder_layer_post_norm(tp, x, num_heads: int):
                          tp["ln2_bias"].astype(jnp.float32))
 
 
-def pool_patches(tparams, cfg: ValleyConfig,
-                 patch_features: jnp.ndarray) -> jnp.ndarray:
-    """(T, P, H) per-frame patch features -> (P, H) pooled features."""
+def pool_patches(tparams, cfg: ValleyConfig, patch_features: jnp.ndarray,
+                 frame_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(T, P, H) per-frame patch features -> (P, H) pooled features.
+
+    ``frame_mask``: optional (T,) bool marking valid frames.  Mixed
+    image/video batches are frame-padded to a common T for static shapes;
+    masked pooling keeps the math identical to the reference's per-sample
+    variable-T loop (all-ones mask == unmasked path).  Padding must sit at
+    the END of the frame axis (the transformer variant reads the last
+    *valid* step).
+    """
     method = cfg.patch_pooling_method
     x = patch_features
+    t = x.shape[0]
+    if frame_mask is None:
+        m = None
+    else:
+        m = frame_mask.astype(jnp.float32)                  # (T,)
+
     if method == "mean":
-        return jnp.mean(x, axis=0)
+        if m is None:
+            return jnp.mean(x, axis=0)
+        w = m[:, None, None]
+        return (jnp.sum(x.astype(jnp.float32) * w, axis=0)
+                / jnp.maximum(jnp.sum(m), 1.0)).astype(x.dtype)
     if method == "max":
-        return jnp.max(x, axis=0)
+        if m is None:
+            return jnp.max(x, axis=0)
+        neg = jnp.asarray(-1e30, x.dtype)
+        masked = jnp.where(frame_mask[:, None, None], x, neg)
+        return jnp.max(masked, axis=0)
     if method == "temporal_importance":
-        t = x.shape[0]
         flat = x.reshape(t, -1).astype(jnp.float32)
         score = flat @ tparams["pooling_w"].astype(jnp.float32) \
             + tparams["pooling_b"].astype(jnp.float32)      # (T, 1)
+        if m is not None:
+            score = jnp.where(m[:, None] > 0, score, -1e30)
         score = jax.nn.softmax(score, axis=0)[:, :, None]   # (T, 1, 1)
         return jnp.sum(score * x.astype(jnp.float32),
                        axis=0).astype(x.dtype)
     if method == "temporal_transformer":
-        t = x.shape[0]
         xt = x.transpose(1, 0, 2).astype(jnp.float32)       # (P, T, H)
         pos = tparams["position_matrix"][:t].astype(jnp.float32)[None]
         enc = _encoder_layer_post_norm(tparams, xt + pos,
-                                       cfg.temporal_transformer_heads)
-        delta = enc[:, -1, :]                               # (P, H)
-        mean = jnp.mean(xt, axis=1)                         # (P, H)
+                                       cfg.temporal_transformer_heads,
+                                       key_mask=frame_mask)
+        if m is None:
+            delta = enc[:, -1, :]                           # (P, H)
+            mean = jnp.mean(xt, axis=1)                     # (P, H)
+        else:
+            last = jnp.maximum(jnp.sum(m).astype(jnp.int32) - 1, 0)
+            delta = enc[:, last, :]
+            mean = (jnp.sum(xt * m[None, :, None], axis=1)
+                    / jnp.maximum(jnp.sum(m), 1.0))
         return (delta + mean).astype(x.dtype)
     raise ValueError(f"unknown pooling method {method!r}")

@@ -43,13 +43,15 @@ def init_params(cfg: ValleyConfig, key: jax.Array, dtype=jnp.bfloat16):
 
 
 def encode_images(params, cfg: ValleyConfig, images: jnp.ndarray,
-                  stop_vision_gradient: bool = True) -> VisionFeatures:
+                  stop_vision_gradient: bool = True,
+                  frame_mask: Optional[jnp.ndarray] = None) -> VisionFeatures:
     """images: (B, T, 3, H, W) CLIP-normalized frames -> vision features.
 
     The tower is frozen in every reference recipe
     (`valley_model.py:69`, `requires_grad_(False)`), so its activations are
     wrapped in `stop_gradient`; the projector and temporal module remain
-    differentiable.
+    differentiable.  ``frame_mask``: optional (B, T) bool for batches whose
+    samples have different frame counts (padding at the END of the axis).
     """
     b, t = images.shape[:2]
     flat = images.reshape((b * t,) + images.shape[2:])
@@ -61,8 +63,12 @@ def encode_images(params, cfg: ValleyConfig, images: jnp.ndarray,
 
     patch = feats[:, :, 1:, :]     # (B, T, P, H)
     cls = feats[:, :, 0, :]        # (B, T, H)
-    pooled = jax.vmap(lambda pf: temporal.pool_patches(
-        params["temporal"], cfg, pf))(patch)
+    if frame_mask is None:
+        pooled = jax.vmap(lambda pf: temporal.pool_patches(
+            params["temporal"], cfg, pf))(patch)
+    else:
+        pooled = jax.vmap(lambda pf, fm: temporal.pool_patches(
+            params["temporal"], cfg, pf, fm))(patch, frame_mask)
     return VisionFeatures(pooled=pooled, frame_cls=cls)
 
 
@@ -98,10 +104,13 @@ def splice_embeddings(cfg: ValleyConfig, input_ids: jnp.ndarray,
 
 def build_inputs_embeds(params, cfg: ValleyConfig, input_ids: jnp.ndarray,
                         images: Optional[jnp.ndarray],
-                        stop_vision_gradient: bool = True) -> jnp.ndarray:
+                        stop_vision_gradient: bool = True,
+                        frame_mask: Optional[jnp.ndarray] = None
+                        ) -> jnp.ndarray:
     embeds = llama.embed(params["llama"], input_ids)
     if images is not None:
-        feats = encode_images(params, cfg, images, stop_vision_gradient)
+        feats = encode_images(params, cfg, images, stop_vision_gradient,
+                              frame_mask)
         embeds = splice_embeddings(cfg, input_ids, embeds, feats)
     return embeds
 
@@ -110,10 +119,12 @@ def forward(params, cfg: ValleyConfig, input_ids: jnp.ndarray,
             images: Optional[jnp.ndarray] = None,
             attn_mask: Optional[jnp.ndarray] = None,
             remat: bool = False,
-            use_flash: Optional[bool] = None) -> jnp.ndarray:
+            use_flash: Optional[bool] = None,
+            frame_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Full forward to fp32 logits (B, S, V) — the jittable equivalent of
     `ValleyLlamaForCausalLM.forward` (`valley_model.py:272-305`)."""
-    embeds = build_inputs_embeds(params, cfg, input_ids, images)
+    embeds = build_inputs_embeds(params, cfg, input_ids, images,
+                                 frame_mask=frame_mask)
     return llama.forward(params["llama"], cfg.text, embeds, attn_mask,
                          remat=remat, use_flash=use_flash)
 
@@ -137,5 +148,6 @@ def loss_fn(params, cfg: ValleyConfig, batch, remat: bool = True,
             use_flash: Optional[bool] = None) -> jnp.ndarray:
     logits = forward(params, cfg, batch["input_ids"],
                      batch.get("images"), batch.get("attention_mask"),
-                     remat=remat, use_flash=use_flash)
+                     remat=remat, use_flash=use_flash,
+                     frame_mask=batch.get("frame_mask"))
     return shifted_cross_entropy(logits, batch["labels"])

@@ -1,0 +1,3 @@
+from valley_tpu.parallel.mesh import create_mesh, local_mesh
+from valley_tpu.parallel.sharding import (batch_sharding, param_shardings,
+                                          shard_batch, shard_params)
