@@ -1,0 +1,116 @@
+"""Benchmark: Valley-7B 8-frame video QA inference on TPU.
+
+Measures the BASELINE.json primary metric — video->first-token latency and
+decode tokens/sec/chip — using the jit-compiled engine on random bf16
+weights (math/shapes identical to real weights).  Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline``: the reference publishes no throughput numbers
+(BASELINE.md), so the ratio is computed against the HBM roofline for
+single-stream decode on this chip (model_bytes / HBM bandwidth) — i.e.
+fraction of speed-of-light; >1 is impossible, 1.0 is perfect.
+Set VALLEY_BENCH_SIZE=tiny to smoke-test on CPU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# v5e (v5 lite) HBM bandwidth ~819 GB/s
+HBM_GBPS = float(os.environ.get("VALLEY_HBM_GBPS", 819.0))
+
+
+def param_bytes(tree) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
+
+
+def main():
+    on_tpu = jax.default_backend() not in ("cpu",)
+    size = os.environ.get("VALLEY_BENCH_SIZE", "7b" if on_tpu else "tiny")
+
+    from valley_tpu import config as C
+    from valley_tpu.inference import Engine, GenerationConfig
+    from valley_tpu.models import valley
+
+    if size == "tiny":
+        cfg = C.valley_tiny()
+        frames_n, seq_bucket, decode_n = 2, 128, 32
+    else:
+        cfg = (C.valley_7b() if size == "7b" else C.valley_13b()).replace(
+            tokens=C.SpecialTokens(im_patch=31996, im_start=31997,
+                                   im_end=31998, vi_frame=31999,
+                                   vi_start=31994, vi_end=31995))
+        frames_n, seq_bucket, decode_n = 8, 512, 128
+
+    dtype = jnp.bfloat16
+    if size == "tiny":
+        params = valley.init_params(cfg, jax.random.key(0), dtype=dtype)
+    else:
+        # Perf-only weights: same shapes/dtypes, built with no fp32 RNG
+        # transients (random init of the stacked (L, H, F) fp32 tensors
+        # would transiently need ~6 GB extra and OOM a 16 GB chip).
+        shapes = jax.eval_shape(
+            lambda k: valley.init_params(cfg, k, dtype=dtype),
+            jax.random.key(0))
+        params = jax.tree.map(
+            lambda s: jnp.full(s.shape, 0.008, s.dtype), shapes)
+    jax.block_until_ready(params)
+
+    engine = Engine(cfg, params, buckets=(seq_bucket,),
+                    max_new_tokens=decode_n, cache_dtype=dtype,
+                    steps_per_call=int(os.environ.get(
+                        "VALLEY_BENCH_STEPS", 32)))
+
+    tok = cfg.tokens
+    p = cfg.num_patches
+    span = [tok.im_start] + [tok.im_patch] * p + [tok.im_end] + \
+        [tok.vi_start] + [tok.vi_frame] * frames_n + [tok.vi_end]
+    rng = np.random.default_rng(0)
+    prompt = [1] + span + rng.integers(
+        5, 30000 if size != "tiny" else 400,
+        size=seq_bucket - len(span) - 40).tolist()
+    images = rng.standard_normal(
+        (1, frames_n, 3, cfg.vision.image_size,
+         cfg.vision.image_size)).astype(np.float32)
+    gen = GenerationConfig(max_new_tokens=decode_n, do_sample=False)
+
+    def run():
+        t_first = None
+        t0 = time.perf_counter()
+        n = 0
+        for t in engine.generate_tokens([prompt], images, gen, eos_ids=[-1]):
+            if t_first is None:
+                t_first = time.perf_counter() - t0
+            n += 1
+        return t_first, n, time.perf_counter() - t0
+
+    run()  # warmup: compile prefill + decode
+    best_tps, best_first = 0.0, 1e9
+    for _ in range(3):
+        t_first, n, total = run()
+        decode_time = total - t_first
+        tps = (n - 1) / decode_time if decode_time > 0 else 0.0
+        best_tps = max(best_tps, tps)
+        best_first = min(best_first, t_first)
+
+    # decode roofline: every token reads all decoder+head params once
+    llama_bytes = param_bytes({"llama": params["llama"]})
+    roofline_tps = HBM_GBPS * 1e9 / llama_bytes
+    result = {
+        "metric": f"valley-{size} 8-frame video decode throughput "
+                  f"(first_token_s={best_first:.3f})",
+        "value": round(best_tps, 3),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(best_tps / roofline_tps, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

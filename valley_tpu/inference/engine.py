@@ -74,12 +74,18 @@ class Engine:
                  buckets: Sequence[int] = (128, 256, 512, 1024, 2048),
                  max_new_tokens: int = 1024,
                  cache_dtype=jnp.bfloat16,
-                 use_flash: Optional[bool] = None):
+                 use_flash: Optional[bool] = None,
+                 steps_per_call: int = 4):
         self.cfg = cfg
         self.params = params
         self.buckets = tuple(sorted(buckets))
         self.max_new_tokens = max_new_tokens
         self.cache_dtype = cache_dtype
+        # Fused decode: run K steps per jit call (lax.scan) so host->device
+        # dispatch latency amortizes; K tokens return per call.  Keyword/EOS
+        # stopping happens every K tokens (the reference streams every 2
+        # anyway, `model_worker.py:496`).
+        self.steps_per_call = max(1, steps_per_call)
         if use_flash is None:
             use_flash = jax.default_backend() == "tpu"
         self.use_flash = use_flash
@@ -89,7 +95,8 @@ class Engine:
             static_argnames=("bucket", "do_sample", "has_images"))
         self._decode = jax.jit(
             self._decode_impl,
-            static_argnames=("bucket", "do_sample"))
+            static_argnames=("bucket", "do_sample", "n_steps"),
+            donate_argnames=("cache",))
 
     # -- jitted bodies ---------------------------------------------------
 
@@ -115,11 +122,10 @@ class Engine:
         tok = sample_token(logits, key, temperature, top_p, do_sample)
         return tok, logits, cache
 
-    def _decode_impl(self, params, cache: KVCache, token, step, prompt_len,
+    def _decode_step(self, params, cache: KVCache, token, step, prompt_len,
                      key, temperature, top_p, *, bucket: int,
                      do_sample: bool):
         cfg = self.cfg
-        b = token.shape[0]
         embeds = llama.embed(params["llama"], token[:, None])  # (B, 1, H)
         smax = cache.max_len
         slots = jnp.arange(smax)[None, :]
@@ -133,7 +139,22 @@ class Engine:
             use_flash=False)
         logits = llama.logits_from_hidden(params["llama"], hidden)[:, 0]
         tok = sample_token(logits, key, temperature, top_p, do_sample)
-        return tok, logits, cache
+        return tok, cache
+
+    def _decode_impl(self, params, cache: KVCache, token, step0, prompt_len,
+                     key, temperature, top_p, *, bucket: int,
+                     do_sample: bool, n_steps: int):
+        def body(carry, _):
+            token, cache, step, key = carry
+            key, sub = jax.random.split(key)
+            tok, cache = self._decode_step(
+                params, cache, token, step, prompt_len, sub, temperature,
+                top_p, bucket=bucket, do_sample=do_sample)
+            return (tok, cache, step + 1, key), tok
+
+        (tok, cache, _, _), toks = jax.lax.scan(
+            body, (token, cache, step0, key), None, length=n_steps)
+        return toks, cache  # toks: (n_steps, B)
 
     # -- host-side loop --------------------------------------------------
 
@@ -176,19 +197,26 @@ class Engine:
 
         max_new = min(gen.max_new_tokens, self.max_new_tokens)
         alive = np.ones(len(input_ids), bool)
-        for step in range(max_new):
-            tok_np = np.asarray(tok)
-            yield tok_np
-            alive &= ~np.isin(tok_np, np.asarray(eos_ids))
-            if not alive.any():
-                return
-            if step + 1 >= max_new:
-                return
+        eos_arr = np.asarray(eos_ids)
+        tok_np = np.asarray(tok)
+        yield tok_np
+        alive &= ~np.isin(tok_np, eos_arr)
+        step = 1
+        while step < max_new and alive.any():
+            n_steps = min(self.steps_per_call, max_new - step)
             key, sub = jax.random.split(key)
-            tok, _logits, cache = self._decode(
-                self.params, cache, tok, jnp.int32(step),
+            toks, cache = self._decode(
+                self.params, cache, tok, jnp.int32(step - 1),
                 jnp.asarray(lens), sub, gen.temperature, gen.top_p,
-                bucket=bucket, do_sample=gen.do_sample)
+                bucket=bucket, do_sample=gen.do_sample, n_steps=n_steps)
+            toks_np = np.asarray(toks)            # (n_steps, B)
+            tok = toks[-1]
+            for i in range(n_steps):
+                if not alive.any():
+                    return
+                yield toks_np[i]
+                alive &= ~np.isin(toks_np[i], eos_arr)
+                step += 1
 
     def generate(self, tokenizer, input_ids: Sequence[int],
                  images: Optional[np.ndarray] = None,

@@ -27,11 +27,11 @@ _NEG_INF = -1e9
 
 def _attn_kernel(q_ref, k_ref, v_ref, kvmask_ref, o_ref, *, causal: bool,
                  scale: float, block_q: int):
-    # q_ref: (1, block_q, 1, D); k_ref/v_ref: (1, S, 1, D);
-    # kvmask_ref: (1, 1, S) int32; o_ref: (1, block_q, 1, D)
-    qi = pl.program_id(2)
-    q = q_ref[0, :, 0, :].astype(jnp.float32)
-    k = k_ref[0, :, 0, :].astype(jnp.float32)
+    # q_ref: (1, block_q, D); k_ref/v_ref: (1, S, D);
+    # kvmask_ref: (1, 1, S) int32; o_ref: (1, block_q, D)
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # (block_q, S)
@@ -50,9 +50,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, kvmask_ref, o_ref, *, causal: bool,
     denom = jnp.sum(unnorm, axis=-1, keepdims=True)
     probs = unnorm / denom
     out = jax.lax.dot_general(
-        probs, v_ref[0, :, 0, :].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        probs, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _flash_fwd_impl(q, k, v, kv_mask, causal: bool, block_q: int):
@@ -60,37 +60,43 @@ def _flash_fwd_impl(q, k, v, kv_mask, causal: bool, block_q: int):
     sk = k.shape[1]
     scale = d ** -0.5
     block_q = min(block_q, sq)
-    grid = (b, h, pl.cdiv(sq, block_q))
+    # Fold heads into the leading grid dim: (B, S, H, D) -> (B*H, S, D)
+    # keeps block last-two-dims = (block_q, D), satisfying TPU tiling.
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    grid = (b * h, pl.cdiv(sq, block_q))
 
     kernel = functools.partial(_attn_kernel, causal=causal, scale=scale,
                                block_q=block_q)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, sq, h, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, d),
-                         lambda bi, hi, qi: (bi, qi, hi, 0),
+            pl.BlockSpec((1, block_q, d),
+                         lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, 1, d),
-                         lambda bi, hi, qi: (bi, 0, hi, 0),
+            pl.BlockSpec((1, sk, d),
+                         lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, 1, d),
-                         lambda bi, hi, qi: (bi, 0, hi, 0),
+            pl.BlockSpec((1, sk, d),
+                         lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, sk),
-                         lambda bi, hi, qi: (bi, 0, 0),
+                         lambda bh, qi: (bh // h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, 1, d),
-                               lambda bi, hi, qi: (bi, qi, hi, 0),
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda bh, qi: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq * sk * d,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize * 2,
             transcendentals=b * h * sq * sk,
         ),
-    )(q, k, v, kv_mask)
+    )(qf, kf, vf, kv_mask)
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
 
 def _xla_attention(q, k, v, kv_mask, causal):
