@@ -1,0 +1,170 @@
+"""Logit-fidelity harness: tiny random-weight PyTorch reference models vs
+the JAX stack through the HF bridge (SURVEY §4(c): ≤1e-3 parity)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from valley_tpu import config as C
+from valley_tpu.models import clip_vit, llama, temporal
+from valley_tpu.utils import hf_bridge
+
+
+@pytest.fixture(scope="module")
+def torch_llama():
+    torch.manual_seed(0)
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=512, rms_norm_eps=1e-6,
+        attn_implementation="eager")
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    return model, hf_cfg
+
+
+def test_llama_logits_match_hf(torch_llama):
+    model, hf_cfg = torch_llama
+    cfg = hf_bridge.text_config_from_hf(hf_cfg.to_dict())
+    params = hf_bridge.convert_llama(model.state_dict(), cfg,
+                                     dtype=jnp.float32)
+
+    ids = np.random.default_rng(0).integers(0, 512, (2, 21))
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids)).logits.numpy()
+    embeds = llama.embed(params, jnp.asarray(ids))
+    ours = np.asarray(llama.forward(params, cfg, embeds, use_flash=False))
+    assert np.max(np.abs(ours - ref)) < 1e-3, np.max(np.abs(ours - ref))
+
+
+def test_llama_logits_match_hf_with_padding_mask(torch_llama):
+    model, hf_cfg = torch_llama
+    cfg = hf_bridge.text_config_from_hf(hf_cfg.to_dict())
+    params = hf_bridge.convert_llama(model.state_dict(), cfg,
+                                     dtype=jnp.float32)
+    ids = np.random.default_rng(1).integers(0, 512, (2, 16))
+    mask = np.ones((2, 16), np.int64)
+    mask[1, 10:] = 0
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids),
+                    attention_mask=torch.from_numpy(mask)).logits.numpy()
+    embeds = llama.embed(params, jnp.asarray(ids))
+    ours = np.asarray(llama.forward(params, cfg, embeds,
+                                    jnp.asarray(mask), use_flash=False))
+    # compare only valid positions (HF computes garbage on pads too but
+    # positions differ there)
+    valid = mask.astype(bool)
+    diff = np.abs(ours - ref)[valid]
+    assert diff.max() < 1e-3, diff.max()
+
+
+@pytest.fixture(scope="module")
+def torch_clip():
+    torch.manual_seed(1)
+    hf_cfg = transformers.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        attn_implementation="eager")
+    model = transformers.CLIPVisionModel(hf_cfg).eval()
+    return model, hf_cfg
+
+
+@pytest.mark.parametrize("select_layer", [-1, -2])
+def test_clip_hidden_states_match_hf(torch_clip, select_layer):
+    model, hf_cfg = torch_clip
+    cfg = C.VisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        select_layer=select_layer)
+    params = hf_bridge.convert_clip(model.state_dict(), cfg,
+                                    dtype=jnp.float32)
+    pixels = np.random.default_rng(2).standard_normal(
+        (2, 3, 28, 28)).astype(np.float32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(pixels), output_hidden_states=True)
+        ref = out.hidden_states[select_layer].numpy()
+    ours = np.asarray(clip_vit.encode(params, cfg, jnp.asarray(pixels),
+                                      select_layer=select_layer))
+    assert np.max(np.abs(ours - ref)) < 1e-3, np.max(np.abs(ours - ref))
+
+
+def test_temporal_transformer_matches_torch():
+    """v3 pooling vs the reference construction: 1-layer post-norm
+    TransformerEncoder + last-step + temporal mean
+    (`valley_model.py:123-133`)."""
+    torch.manual_seed(3)
+    h, heads, t, p = 32, 8, 5, 4
+    layer = torch.nn.TransformerEncoderLayer(d_model=h, nhead=heads,
+                                             batch_first=True)
+    enc = torch.nn.TransformerEncoder(layer, num_layers=1).eval()
+
+    cfg = C.valley_tiny().replace(
+        patch_pooling_method="temporal_transformer",
+        temporal_transformer_heads=heads)
+    # build params from the torch layer via the bridge
+    sd = {"model.transformer_delta_encoder.layers.0." + k: v
+          for k, v in enc.layers[0].state_dict().items()}
+    tparams = hf_bridge.convert_temporal(sd, cfg, dtype=jnp.float32)
+    # tiny hidden: pos table for width h
+    tparams["position_matrix"] = temporal.sinusoidal_position_matrix(2048, h)
+
+    x = np.random.default_rng(4).standard_normal((t, p, h)).astype(
+        np.float32)
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(1, 0, 2)          # (P, T, H)
+        pos = torch.from_numpy(np.asarray(
+            tparams["position_matrix"][:t]))[None]
+        delta = enc(xt + pos)[:, -1, :]
+        ref = (delta + xt.mean(dim=1)).numpy()
+    # adapt hidden size mismatch: cfg.text.hidden_size is 64 but features
+    # here are width h=32 — pool_patches only uses tparams shapes.
+    ours = np.asarray(temporal.pool_patches(tparams, cfg, jnp.asarray(x)))
+    assert np.max(np.abs(ours - ref)) < 1e-3, np.max(np.abs(ours - ref))
+
+
+def test_temporal_importance_matches_torch():
+    torch.manual_seed(5)
+    h, t, p = 16, 6, 4
+    lin = torch.nn.Linear(h * p, 1).eval()
+    cfg = C.valley_tiny().replace(patch_pooling_method="temporal_importance")
+    sd = {"model.pooling_layer.weight": lin.weight,
+          "model.pooling_layer.bias": lin.bias}
+    tparams = hf_bridge.convert_temporal(sd, cfg, dtype=jnp.float32)
+    x = np.random.default_rng(6).standard_normal((t, p, h)).astype(
+        np.float32)
+    with torch.no_grad():
+        flat = torch.from_numpy(x).flatten(start_dim=1)
+        score = torch.softmax(lin(flat), dim=0).unsqueeze(2)
+        ref = (score * torch.from_numpy(x)).sum(dim=0).numpy()
+    ours = np.asarray(temporal.pool_patches(tparams, cfg, jnp.asarray(x)))
+    assert np.max(np.abs(ours - ref)) < 1e-3
+
+
+def test_projector_roundtrip():
+    torch.manual_seed(7)
+    lin = torch.nn.Linear(8, 12)
+    sd = {"model.mm_projector.weight": lin.weight,
+          "model.mm_projector.bias": lin.bias}
+    proj = hf_bridge.convert_projector(sd, dtype=jnp.float32)
+    x = np.random.default_rng(8).standard_normal((3, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref = lin(torch.from_numpy(x)).numpy()
+    ours = np.asarray(jnp.asarray(x) @ proj["w"] + proj["b"])
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_export_llama_roundtrip(torch_llama):
+    model, hf_cfg = torch_llama
+    cfg = hf_bridge.text_config_from_hf(hf_cfg.to_dict())
+    params = hf_bridge.convert_llama(model.state_dict(), cfg, jnp.float32)
+    sd = hf_bridge.export_llama(params)
+    params2 = hf_bridge.convert_llama(sd, cfg, jnp.float32)
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(params2)[0]):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
