@@ -1,0 +1,203 @@
+"""Serving stack: controller scheduling, worker streaming over real HTTP
+sockets, controller proxy, web server endpoints (httpx/requests clients
+against live localhost servers, per SURVEY §4(e))."""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import requests
+
+from valley_tpu import config as C
+from valley_tpu.inference import Engine
+from valley_tpu.models import valley
+from valley_tpu.serve import controller as controller_mod
+from valley_tpu.serve import model_worker as worker_mod
+from valley_tpu.serve import web_server as web_mod
+from valley_tpu.serve.controller import Controller
+from valley_tpu.serve.httpd import post_json, stream_chunks
+from valley_tpu.serve.model_worker import ModelWorker
+from valley_tpu.tokenizer import ByteFallbackTokenizer
+
+
+@pytest.fixture(scope="module")
+def engine_and_tokenizer():
+    tk = ByteFallbackTokenizer()
+    cfg = C.valley_tiny().replace(tokens=tk.special_tokens())
+    params = valley.init_params(cfg, jax.random.key(0), jnp.float32)
+    eng = Engine(cfg, params, buckets=(128,), max_new_tokens=16,
+                 cache_dtype=jnp.float32, use_flash=False)
+    return eng, tk
+
+
+@pytest.fixture(scope="module")
+def stack(engine_and_tokenizer):
+    """controller + registered worker + web server on live ports."""
+    eng, tk = engine_and_tokenizer
+    ctrl = Controller("shortest_queue")
+    ctrl_app = controller_mod.build_app(ctrl)
+    ctrl_port = ctrl_app.start()
+    ctrl_addr = f"http://localhost:{ctrl_port}"
+
+    worker = ModelWorker(ctrl_addr, "placeholder", "valley-tiny", eng, tk,
+                         no_register=True, num_frames=2)
+    w_app = worker_mod.build_app(worker)
+    w_port = w_app.start()
+    worker.worker_addr = f"http://localhost:{w_port}"
+    worker.register_to_controller()
+
+    web = web_mod.WebServer(ctrl_addr)
+    web_app = web_mod.build_app(web)
+    web_port = web_app.start()
+
+    yield {
+        "ctrl": ctrl, "ctrl_addr": ctrl_addr,
+        "worker": worker, "worker_addr": worker.worker_addr,
+        "web_addr": f"http://localhost:{web_port}",
+    }
+    ctrl_app.shutdown()
+    w_app.shutdown()
+    web_app.shutdown()
+
+
+def test_register_and_list_models(stack):
+    models = post_json(stack["ctrl_addr"] + "/list_models", {})["models"]
+    assert models == ["valley-tiny"]
+
+
+def test_get_worker_address(stack):
+    addr = post_json(stack["ctrl_addr"] + "/get_worker_address",
+                     {"model": "valley-tiny"})["address"]
+    assert addr == stack["worker_addr"]
+    missing = post_json(stack["ctrl_addr"] + "/get_worker_address",
+                        {"model": "nope"})["address"]
+    assert missing == ""
+
+
+def test_worker_status_endpoint(stack):
+    status = post_json(stack["worker_addr"] + "/worker_get_status", {})
+    assert status["model_names"] == ["valley-tiny"]
+    assert status["speed"] == 1
+
+
+def test_worker_text_stream(stack):
+    chunks = list(stream_chunks(
+        stack["worker_addr"] + "/worker_generate_stream",
+        {"prompt": "### Human: hi\n### Assistant:", "temperature": 0.0,
+         "max_new_tokens": 8, "stop": "###"}))
+    assert chunks
+    assert all(c["error_code"] == 0 for c in chunks)
+    # streamed text echoes the original prompt prefix (reference behavior)
+    assert chunks[-1]["text"].startswith("### Human: hi")
+
+
+def test_worker_video_stream(stack, tmp_path):
+    import cv2
+
+    path = str(tmp_path / "v.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 5, (64, 64))
+    for i in range(10):
+        w.write(np.full((64, 64, 3), i * 20, np.uint8))
+    w.release()
+
+    chunks = list(stream_chunks(
+        stack["worker_addr"] + "/worker_generate_stream",
+        {"prompt": "### Human: <video> what is this\n### Assistant:",
+         "videos": [path], "temperature": 0.0, "max_new_tokens": 6,
+         "stop": "###"}, timeout=180))
+    assert chunks and chunks[-1]["error_code"] == 0
+
+
+def test_worker_mismatched_video_count_is_error_code_1(stack):
+    chunks = list(stream_chunks(
+        stack["worker_addr"] + "/worker_generate_stream",
+        {"prompt": "no media token here", "videos": ["/tmp/x.mp4"],
+         "max_new_tokens": 4}))
+    assert chunks[-1]["error_code"] == 1
+
+
+def test_controller_proxy_stream(stack):
+    chunks = list(stream_chunks(
+        stack["ctrl_addr"] + "/worker_generate_stream",
+        {"model": "valley-tiny", "prompt": "### Human: test\n### Assistant:",
+         "temperature": 0.0, "max_new_tokens": 4, "stop": "###"}))
+    assert chunks and chunks[-1]["error_code"] == 0
+
+
+def test_controller_proxy_no_worker_is_error_code_2(stack):
+    chunks = list(stream_chunks(
+        stack["ctrl_addr"] + "/worker_generate_stream",
+        {"model": "missing-model", "prompt": "x"}))
+    assert chunks[-1]["error_code"] == 2
+
+
+def test_heartbeat_updates_and_expiry():
+    ctrl = Controller("shortest_queue")
+    ctrl.register_worker("http://fake:1", True,
+                         {"model_names": ["m"], "speed": 1,
+                          "queue_length": 0})
+    assert ctrl.receive_heart_beat("http://fake:1", 3)
+    assert ctrl.worker_info["http://fake:1"].queue_length == 3
+    assert not ctrl.receive_heart_beat("http://unknown:1", 1)
+    # force expiry
+    ctrl.worker_info["http://fake:1"].last_heart_beat = time.time() - 999
+    ctrl.remove_stale_workers_by_expiration()
+    assert "http://fake:1" not in ctrl.worker_info
+
+
+def test_lottery_dispatch():
+    ctrl = Controller("lottery")
+    ctrl.register_worker("http://a:1", False,
+                         {"model_names": ["m"], "speed": 1,
+                          "queue_length": 0})
+    ctrl.register_worker("http://b:1", False,
+                         {"model_names": ["m"], "speed": 1,
+                          "queue_length": 0})
+    picks = {ctrl.get_worker_address("m") for _ in range(20)}
+    assert picks <= {"http://a:1", "http://b:1"}
+    assert ctrl.get_worker_address("other") == ""
+
+
+def test_shortest_queue_prefers_idle():
+    ctrl = Controller("shortest_queue")
+    ctrl.register_worker("http://busy:1", False,
+                         {"model_names": ["m"], "speed": 1,
+                          "queue_length": 10})
+    ctrl.register_worker("http://idle:1", False,
+                         {"model_names": ["m"], "speed": 1,
+                          "queue_length": 0})
+    assert ctrl.get_worker_address("m") == "http://idle:1"
+    # dispatch increments the chosen worker's queue
+    assert ctrl.worker_info["http://idle:1"].queue_length == 1
+
+
+def test_web_index_and_models(stack):
+    r = requests.get(stack["web_addr"] + "/")
+    assert r.status_code == 200 and b"Valley" in r.content
+    r = requests.post(stack["web_addr"] + "/list_models")
+    assert r.json()["models"] == ["valley-tiny"]
+
+
+def test_web_chat_stream_roundtrip(stack):
+    with requests.post(stack["web_addr"] + "/chat_stream",
+                       json={"model": "valley-tiny", "text": "hello",
+                             "temperature": 0.0, "max_new_tokens": 4},
+                       stream=True) as r:
+        chunks = [json.loads(c) for c in
+                  r.iter_lines(decode_unicode=False, delimiter=b"\0") if c]
+    assert chunks
+    assert "text" in chunks[-1]
+
+
+def test_web_vote_logged(stack, tmp_path, monkeypatch):
+    r = requests.post(stack["web_addr"] + "/vote",
+                      json={"type": "upvote", "history": [["Human", "hi"]]})
+    assert r.status_code == 200
+
+
+def test_unknown_route_404(stack):
+    r = requests.post(stack["ctrl_addr"] + "/nope", json={})
+    assert r.status_code == 404

@@ -1,0 +1,311 @@
+"""Model worker: serves a jit-compiled Valley engine over HTTP.
+
+Behavioral parity with `valley/serve/model_worker.py`: registration +
+15s heartbeat with re-register on forgotten (`:123-160`), status payload
+(`:169-174`), `/worker_generate_stream` accepting
+``{prompt, images|videos, temperature, max_new_tokens, stop}`` where the
+prompt carries `<image>`/`<video>` placeholders expanded server-side
+(`:176-241,320-341`), streaming ``{"text": ori_prompt + generated,
+"error_code": 0}\\0`` chunks every ``stream_interval`` tokens
+(`:278-291`), concurrency limiting (`:461-474`), and the error gate
+mapping exceptions to error_code 1 (`:428-449`).
+
+The decode loop itself is the TPU engine — bucketed prefill + fused
+multi-step decode — instead of the reference's per-token python loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import logging
+import threading
+import time
+import uuid
+from io import BytesIO
+from typing import Optional
+
+import numpy as np
+
+from valley_tpu.constants import (DEFAULT_IM_END_TOKEN,
+                                  DEFAULT_IM_START_TOKEN,
+                                  DEFAULT_IMAGE_PATCH_TOKEN,
+                                  DEFAULT_IMAGE_TOKEN,
+                                  DEFAULT_VI_END_TOKEN,
+                                  DEFAULT_VI_START_TOKEN,
+                                  DEFAULT_VIDEO_FRAME_TOKEN,
+                                  DEFAULT_VIDEO_TOKEN,
+                                  WORKER_HEART_BEAT_INTERVAL)
+from valley_tpu.serve.httpd import JsonHttpServer, post_json
+from valley_tpu.utils.logging import server_error_msg
+
+logger = logging.getLogger("model_worker")
+
+
+class ModelWorker:
+    def __init__(self, controller_addr: str, worker_addr: str,
+                 model_name: str, engine, tokenizer,
+                 limit_model_concurrency: int = 5,
+                 stream_interval: int = 2,
+                 no_register: bool = False,
+                 num_frames: int = 8):
+        self.controller_addr = controller_addr
+        self.worker_addr = worker_addr
+        self.worker_id = str(uuid.uuid4())[:6]
+        self.model_name = model_name
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.num_frames = num_frames
+        self.stream_interval = stream_interval
+        self.context_len = getattr(tokenizer, "model_max_length", 2048)
+        self._semaphore = threading.Semaphore(limit_model_concurrency)
+        self._limit = limit_model_concurrency
+        self._active = 0
+        if not no_register:
+            self.register_to_controller()
+            self._hb = threading.Thread(target=self._heartbeat_loop,
+                                        daemon=True)
+            self._hb.start()
+
+    # -- control plane ---------------------------------------------------
+
+    def register_to_controller(self):
+        logger.info("Register to controller")
+        post_json(self.controller_addr + "/register_worker", {
+            "worker_name": self.worker_addr,
+            "check_heart_beat": True,
+            "worker_status": self.get_status(),
+        })
+
+    def _heartbeat_loop(self):
+        while True:
+            time.sleep(WORKER_HEART_BEAT_INTERVAL)
+            self.send_heart_beat()
+
+    def send_heart_beat(self):
+        try:
+            exist = post_json(self.controller_addr + "/receive_heart_beat", {
+                "worker_name": self.worker_addr,
+                "queue_length": self.get_queue_length(),
+            }, timeout=5).get("exist", False)
+            if not exist:
+                self.register_to_controller()
+        except Exception as e:
+            logger.error("heart beat error: %s", e)
+
+    def get_queue_length(self) -> int:
+        return max(0, self._active)
+
+    def get_status(self) -> dict:
+        return {"model_names": [self.model_name], "speed": 1,
+                "queue_length": self.get_queue_length()}
+
+    # -- media -----------------------------------------------------------
+
+    def _media_replace_token(self, num_frames: int) -> str:
+        return (DEFAULT_IM_START_TOKEN
+                + DEFAULT_IMAGE_PATCH_TOKEN * self.engine.cfg.num_patches
+                + DEFAULT_IM_END_TOKEN + DEFAULT_VI_START_TOKEN
+                + DEFAULT_VIDEO_FRAME_TOKEN * num_frames
+                + DEFAULT_VI_END_TOKEN)
+
+    def _prepare_images(self, prompt: str, images_b64: list):
+        """b64 JPEG/PNG list -> (expanded prompt, (1, T, 3, H, W) frames).
+        Each image becomes one 'frame' (`model_worker.py:186-218`)."""
+        from PIL import Image
+
+        from valley_tpu.data.dataset import preprocess_image
+
+        if prompt.count(DEFAULT_IMAGE_TOKEN) != len(images_b64):
+            raise ValueError("Number of images does not match number of "
+                             "<image> tokens in prompt")
+        size = self.engine.cfg.vision.image_size
+        frames = [preprocess_image(
+            Image.open(BytesIO(base64.b64decode(img))).convert("RGB"),
+            crop_size=size, scale_size=size) for img in images_b64]
+        arr = np.stack(frames)[None]  # (1, T, 3, H, W)
+        prompt = prompt.replace(DEFAULT_IMAGE_TOKEN,
+                                self._media_replace_token(len(frames)))
+        return prompt, arr
+
+    def _prepare_videos(self, prompt: str, videos: list):
+        """Video paths (or b64 mp4) -> (expanded prompt, frames)."""
+        from valley_tpu.data.video import load_video
+
+        if prompt.count(DEFAULT_VIDEO_TOKEN) != len(videos):
+            raise ValueError("Number of video does not match number of "
+                             "<video> tokens in prompt")
+        if len(videos) != 1:
+            raise ValueError("Only one video per request is supported")
+        video = videos[0]
+        if not isinstance(video, str) or len(video) > 4096:
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".mp4",
+                                             delete=False) as f:
+                f.write(base64.b64decode(video))
+                video = f.name
+        size = self.engine.cfg.vision.image_size
+        clip = load_video(video, fixed_frame_number=self.num_frames,
+                          crop_size=size,
+                          scale_size=max(size * 256 // 224, size))
+        frames = np.transpose(clip, (1, 0, 2, 3))[None]  # (1, T, 3, H, W)
+        prompt = prompt.replace(
+            DEFAULT_VIDEO_TOKEN, self._media_replace_token(frames.shape[1]))
+        return prompt, frames
+
+    # -- generation ------------------------------------------------------
+
+    def generate_stream(self, params: dict):
+        from valley_tpu.inference.engine import GenerationConfig
+
+        prompt = params["prompt"]
+        ori_prompt = prompt
+        images = None
+        if params.get("videos"):
+            prompt, images = self._prepare_videos(prompt, params["videos"])
+        elif params.get("images"):
+            prompt, images = self._prepare_images(prompt, params["images"])
+
+        temperature = float(params.get("temperature", 1.0))
+        max_new_tokens = min(int(params.get("max_new_tokens", 256)), 1024)
+        stop_str = params.get("stop", None)
+
+        input_ids = self.tokenizer.encode(prompt)
+        # clamp to context (reference `model_worker.py:241`) AND to the
+        # engine's largest compiled bucket
+        max_src_len = min(self.context_len - max_new_tokens - 8,
+                          self.engine.buckets[-1])
+        input_ids = input_ids[-max_src_len:]
+
+        gen = GenerationConfig(
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            do_sample=temperature >= 1e-4,
+            stop=(stop_str,) if stop_str else (),
+            stream_interval=self.stream_interval,
+            seed=int(params.get("seed", np.random.randint(1 << 31))))
+
+        eos_id = getattr(self.tokenizer, "eos_token_id", 2) or 2
+        pred_ids: list[int] = []
+        stopped = False
+        emitted = 0
+        for i, tok in enumerate(self.engine.generate_tokens(
+                [input_ids], images, gen, eos_ids=[eos_id])):
+            pred_ids.append(int(tok[0]))
+            stopped = pred_ids[-1] == eos_id
+            if i % self.stream_interval == 0 or stopped or \
+                    i == max_new_tokens - 1:
+                cur_out = self.tokenizer.decode(pred_ids,
+                                                skip_special_tokens=True)
+                if stop_str:
+                    pos = cur_out.rfind(stop_str)
+                    if pos != -1:
+                        cur_out = cur_out[:pos]
+                        stopped = True
+                emitted += 1
+                yield json.dumps({"text": ori_prompt + cur_out,
+                                  "error_code": 0}).encode() + b"\0"
+            if stopped:
+                break
+        if not emitted:
+            yield json.dumps({"text": ori_prompt,
+                              "error_code": 0}).encode() + b"\0"
+
+    def generate_stream_gate(self, params: dict):
+        self._active += 1
+        try:
+            with self._semaphore:
+                yield from self.generate_stream(params)
+        except ValueError as e:
+            yield json.dumps({"text": f"{server_error_msg} ({e})",
+                              "error_code": 1}).encode() + b"\0"
+        except Exception as e:  # parity: error gate maps crashes to code 1
+            logger.exception("generate failed")
+            yield json.dumps({"text": f"{server_error_msg} ({e})",
+                              "error_code": 1}).encode() + b"\0"
+        finally:
+            self._active -= 1
+
+
+def build_app(worker: ModelWorker) -> JsonHttpServer:
+    app = JsonHttpServer()
+
+    @app.post("/worker_generate_stream")
+    def worker_generate_stream(data):
+        return worker.generate_stream_gate(data)
+
+    @app.post("/worker_get_status")
+    def worker_get_status(_data):
+        return worker.get_status()
+
+    return app
+
+
+def load_engine(args):
+    """Build the engine from a checkpoint dir or a random config."""
+    import jax
+    import jax.numpy as jnp
+
+    from valley_tpu import config as C
+    from valley_tpu.inference.engine import Engine
+    from valley_tpu.models import valley
+
+    if args.model_path and args.model_path not in ("random:tiny",):
+        from valley_tpu.utils import hf_bridge
+
+        cfg, params, tokenizer = hf_bridge.load_valley_checkpoint(
+            args.model_path, vision_tower=args.vision_tower)
+        if args.lora_path:
+            from valley_tpu.train import lora as lora_lib
+            from valley_tpu.utils import checkpoint as ckpt_lib
+
+            adapter = ckpt_lib.restore_pytree(args.lora_path)
+            params = lora_lib.merge_lora(
+                lora_lib.load_lora(params, adapter))
+    else:
+        from valley_tpu.tokenizer import ByteFallbackTokenizer
+
+        tokenizer = ByteFallbackTokenizer()
+        cfg = C.valley_tiny().replace(tokens=tokenizer.special_tokens())
+        params = valley.init_params(cfg, jax.random.key(0), jnp.float32)
+    engine = Engine(cfg, params,
+                    buckets=tuple(int(b) for b in args.buckets.split(",")),
+                    max_new_tokens=args.max_new_tokens)
+    return engine, tokenizer
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", type=str, default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=21002)
+    parser.add_argument("--worker-address", type=str,
+                        default="http://localhost:21002")
+    parser.add_argument("--controller-address", type=str,
+                        default="http://localhost:21001")
+    parser.add_argument("--model-path", type=str, default="random:tiny")
+    parser.add_argument("--model-name", type=str, default="valley")
+    parser.add_argument("--vision-tower", type=str, default=None)
+    parser.add_argument("--lora-path", type=str, default=None)
+    parser.add_argument("--buckets", type=str, default="256,512,1024,2048")
+    parser.add_argument("--max-new-tokens", type=int, default=1024)
+    parser.add_argument("--limit-model-concurrency", type=int, default=5)
+    parser.add_argument("--stream-interval", type=int, default=2)
+    parser.add_argument("--no-register", action="store_true")
+    parser.add_argument("--num-frames", type=int, default=8)
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    engine, tokenizer = load_engine(args)
+    worker = ModelWorker(args.controller_address, args.worker_address,
+                         args.model_name, engine, tokenizer,
+                         args.limit_model_concurrency,
+                         args.stream_interval, args.no_register,
+                         args.num_frames)
+    app = build_app(worker)
+    app.host, app._port = args.host, args.port
+    app.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

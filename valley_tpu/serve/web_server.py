@@ -1,0 +1,271 @@
+"""Web chat UI for video/image conversations.
+
+The reference serves a Gradio 3.23 app (`valley/serve/
+gradio_web_server_video.py`); gradio is not in this image, so the UI is a
+single self-contained HTML page served by the same stdlib HTTP layer, with
+behavioral parity for the server side:
+
+* model list fetched from the controller (`get_model_list`, ref `:36-43`);
+* uploaded media saved under ``LOGDIR/serve_images/<md5>`` (ref
+  `:226-254`);
+* prompts built from the `multimodal_video` conversation template and
+  proxied to the chosen worker's `/worker_generate_stream`, chunks relayed
+  to the browser (ref `:273-292`);
+* votes and conversation snapshots appended to ``{date}-conv.json``
+  (ref `:30-33,90-99`);
+* hard limits: text cut to 1536 chars, max_new_tokens ≤ 1536
+  (ref `:136-167,240`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import datetime
+import hashlib
+import json
+import logging
+import os
+import time
+from typing import Optional
+
+from valley_tpu.constants import LOGDIR
+from valley_tpu.conversation import conv_templates
+from valley_tpu.serve.httpd import JsonHttpServer, post_json
+from valley_tpu.utils.logging import server_error_msg
+
+logger = logging.getLogger("web_server")
+
+PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>Valley (TPU)</title>
+<style>
+ body{font-family:sans-serif;max-width:860px;margin:24px auto;padding:0 12px}
+ #chat{border:1px solid #ccc;border-radius:8px;min-height:320px;padding:12px;
+       white-space:pre-wrap}
+ .turn{margin:8px 0}.role{font-weight:bold}
+ textarea{width:100%;height:64px}
+ .controls{display:flex;gap:8px;margin:8px 0;flex-wrap:wrap}
+ button{padding:6px 14px}
+</style></head><body>
+<h2>Valley — video assistant (TPU-native)</h2>
+<div class="controls">
+ <label>Model <select id="model"></select></label>
+ <label>Temperature <input id="temp" type="number" value="0.7" step="0.1"
+   min="0" max="2"></label>
+ <label>Max new tokens <input id="maxtok" type="number" value="512"
+   min="1" max="1536"></label>
+ <input id="media" type="file" accept="video/mp4,image/*">
+</div>
+<div id="chat"></div>
+<textarea id="text" placeholder="Ask about the video…"></textarea>
+<div class="controls">
+ <button onclick="send()">Send</button>
+ <button onclick="vote('upvote')">&#128077;</button>
+ <button onclick="vote('downvote')">&#128078;</button>
+ <button onclick="clearChat()">Clear</button>
+</div>
+<script>
+let history = [];
+async function init(){
+  const r = await fetch('/list_models', {method:'POST'});
+  const models = (await r.json()).models;
+  const sel = document.getElementById('model');
+  for (const m of models){ const o=document.createElement('option');
+    o.textContent=m; sel.appendChild(o); }
+}
+function addTurn(role, text){
+  history.push([role, text]);
+  render();
+}
+function render(){
+  const chat = document.getElementById('chat');
+  chat.innerHTML = history.map(([r,t]) =>
+    `<div class="turn"><span class="role">${r}:</span> ${t}</div>`).join('');
+  chat.scrollTop = chat.scrollHeight;
+}
+async function send(){
+  const text = document.getElementById('text').value.slice(0, 1536);
+  if (!text) return;
+  document.getElementById('text').value='';
+  const file = document.getElementById('media').files[0];
+  let media = null, mediaType = null;
+  if (file){
+    media = await new Promise(res => { const fr = new FileReader();
+      fr.onload = () => res(fr.result.split(',')[1]);
+      fr.readAsDataURL(file); });
+    mediaType = file.type.startsWith('video') ? 'video' : 'image';
+    document.getElementById('media').value = '';
+  }
+  addTurn('Human', text);
+  addTurn('Assistant', '…');
+  const payload = {
+    model: document.getElementById('model').value,
+    text, media, media_type: mediaType,
+    temperature: parseFloat(document.getElementById('temp').value),
+    max_new_tokens: parseInt(document.getElementById('maxtok').value),
+    history: history.slice(0, -2),
+  };
+  const resp = await fetch('/chat_stream', {method:'POST',
+    body: JSON.stringify(payload)});
+  const reader = resp.body.getReader();
+  const dec = new TextDecoder();
+  let buf = '';
+  while (true){
+    const {value, done} = await reader.read();
+    if (done) break;
+    buf += dec.decode(value, {stream:true});
+    const parts = buf.split('\\0');
+    buf = parts.pop();
+    for (const p of parts){ if (!p) continue;
+      const data = JSON.parse(p);
+      history[history.length-1][1] = data.text;
+      render();
+    }
+  }
+}
+async function vote(kind){
+  await fetch('/vote', {method:'POST',
+    body: JSON.stringify({type:kind, history})});
+}
+function clearChat(){ history=[]; render(); }
+init();
+</script></body></html>"""
+
+
+class WebServer:
+    def __init__(self, controller_addr: str, conv_mode="multimodal_video",
+                 num_frames: int = 8):
+        self.controller_addr = controller_addr
+        self.conv_mode = conv_mode
+        self.num_frames = num_frames
+        os.makedirs(os.path.join(LOGDIR, "serve_images"), exist_ok=True)
+
+    def log_file(self) -> str:
+        date = datetime.datetime.now().strftime("%Y-%m-%d")
+        return os.path.join(LOGDIR, f"{date}-conv.json")
+
+    def log(self, record: dict) -> None:
+        record = dict(record, tstamp=round(time.time(), 4))
+        with open(self.log_file(), "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def get_model_list(self):
+        post_json(self.controller_addr + "/refresh_all_workers", {})
+        models = post_json(self.controller_addr + "/list_models",
+                           {}).get("models", [])
+        models.sort()
+        return models
+
+    def save_media(self, b64: str, suffix: str) -> str:
+        raw = base64.b64decode(b64)
+        name = hashlib.md5(raw).hexdigest()
+        path = os.path.join(LOGDIR, "serve_images", f"{name}.{suffix}")
+        if not os.path.isfile(path):
+            with open(path, "wb") as f:
+                f.write(raw)
+        return path
+
+    def chat_stream(self, data: dict):
+        model = data.get("model", "")
+        text = (data.get("text") or "")[:1536]
+        media = data.get("media")
+        media_type = data.get("media_type")
+        history = data.get("history") or []
+
+        conv = conv_templates[self.conv_mode].copy()
+        for role, message in history:
+            conv.append_message(role, message)
+        marker = ""
+        payload_media: dict = {}
+        if media and media_type == "video":
+            path = self.save_media(media, "mp4")
+            payload_media["videos"] = [path]
+            marker = "<video>"
+        elif media and media_type == "image":
+            payload_media["images"] = [media]
+            marker = "<image>"
+        conv.append_message(conv.roles[0], (marker + text) if marker
+                            else text)
+        conv.append_message(conv.roles[1], None)
+        prompt = conv.get_prompt()
+
+        addr = post_json(self.controller_addr + "/get_worker_address",
+                         {"model": model}).get("address", "")
+        if not addr:
+            yield json.dumps({"text": server_error_msg,
+                              "error_code": 2}).encode() + b"\0"
+            return
+
+        import requests
+
+        params = {
+            "model": model,
+            "prompt": prompt,
+            "temperature": float(data.get("temperature", 0.7)),
+            "max_new_tokens": min(int(data.get("max_new_tokens", 512)),
+                                  1536),
+            "stop": conv.sep,
+            **payload_media,
+        }
+        try:
+            resp = requests.post(addr + "/worker_generate_stream",
+                                 json=params, stream=True, timeout=120)
+            answer = ""
+            for chunk in resp.iter_lines(decode_unicode=False,
+                                         delimiter=b"\0"):
+                if not chunk:
+                    continue
+                payload = json.loads(chunk.decode())
+                if payload.get("error_code", 0) == 0:
+                    answer = payload["text"][len(prompt):].strip()
+                    yield json.dumps({"text": answer}).encode() + b"\0"
+                else:
+                    yield json.dumps(payload).encode() + b"\0"
+            self.log({"type": "chat", "model": model, "prompt": prompt,
+                      "answer": answer})
+        except requests.exceptions.RequestException:
+            yield json.dumps({"text": server_error_msg,
+                              "error_code": 3}).encode() + b"\0"
+
+
+def build_app(web: WebServer) -> JsonHttpServer:
+    app = JsonHttpServer()
+
+    @app.get("/")
+    def index(_data):
+        return PAGE
+
+    @app.post("/list_models")
+    def list_models(_data):
+        return {"models": web.get_model_list()}
+
+    @app.post("/chat_stream")
+    def chat_stream(data):
+        return web.chat_stream(data)
+
+    @app.post("/vote")
+    def vote(data):
+        web.log({"type": data.get("type", "vote"),
+                 "history": data.get("history")})
+        return {}
+
+    return app
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", type=str, default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=7860)
+    parser.add_argument("--controller-address", type=str,
+                        default="http://localhost:21001")
+    parser.add_argument("--conv-mode", type=str, default="multimodal_video")
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    web = WebServer(args.controller_address, args.conv_mode)
+    app = build_app(web)
+    app.host, app._port = args.host, args.port
+    app.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
