@@ -103,8 +103,12 @@ def completion(engine: Engine, tokenizer, video: Optional[str],
     if frames is None:
         if video is None:
             raise ValueError("need a video path or preprocessed frames")
-        from valley_tpu.data.video import load_video
-        frames = load_video(video, fixed_frame_number=num_frames)
+        from valley_tpu.data.video import load_video_tchw
+
+        size = cfg.vision.image_size
+        frames = load_video_tchw(video, fixed_frame_number=num_frames,
+                                 crop_size=size,
+                                 scale_size=max(size * 256 // 224, size))
     images = frames[None]  # (1, T, 3, H, W)
 
     gen = gen or GenerationConfig()

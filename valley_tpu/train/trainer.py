@@ -38,6 +38,7 @@ from valley_tpu.models import valley
 from valley_tpu.parallel import (create_mesh, param_shardings, shard_batch,
                                  shard_params)
 from valley_tpu.utils import checkpoint as ckpt_lib
+from valley_tpu.utils.profiling import StepTimer
 
 logger = logging.getLogger(__name__)
 
@@ -75,6 +76,9 @@ class TrainConfig:
     mesh_model: int = 1
     report_to: Optional[str] = None
     run_name: str = "valley"
+    # "start:stop" step range to capture a jax.profiler trace into
+    # <output_dir>/trace (e.g. "5:8"); None disables
+    profile_steps: Optional[str] = None
 
 
 class TrainState(NamedTuple):
@@ -241,15 +245,31 @@ class Trainer:
         step = start_step
         seen = 0
         t0 = time.time()
+        prof_range = None
+        if tc.profile_steps:
+            lo, hi = tc.profile_steps.split(":")
+            prof_range = (int(lo), int(hi))
+        profiling = False
+        timer = StepTimer()
         with self.mesh:
             for epoch in range(tc.num_train_epochs):
                 for batch in self.train_loader.epoch(epoch):
                     seen += 1
                     if seen <= start_step:
                         continue  # fast-forward through resumed data
+                    if prof_range and step == prof_range[0] and not profiling:
+                        jax.profiler.start_trace(
+                            os.path.join(tc.output_dir, "trace"))
+                        profiling = True
                     batch = self._device_batch(batch)
+                    timer.start()
                     self.state, metrics = self._train_step(self.state, batch)
+                    jax.block_until_ready(metrics["loss"])
+                    timer.stop()
                     step += 1
+                    if profiling and step >= prof_range[1]:
+                        jax.profiler.stop_trace()
+                        profiling = False
                     if step % tc.logging_steps == 0:
                         dt = time.time() - t0
                         self.log({
@@ -259,9 +279,13 @@ class Trainer:
                             "grad_norm": float(metrics["grad_norm"]),
                             "learning_rate": float(self.schedule(step)),
                             "seconds": round(dt, 2),
+                            **{k: round(v, 4)
+                               for k, v in timer.summary().items()},
                         })
                     if tc.save_steps and step % tc.save_steps == 0:
                         self.save(step)
+            if profiling:
+                jax.profiler.stop_trace()
             self.save(step)
         return step
 
