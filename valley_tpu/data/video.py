@@ -13,6 +13,7 @@ resize-256 / centercrop-224 / CLIP-normalized.
 
 from __future__ import annotations
 
+import logging
 import os
 from pathlib import Path
 from typing import List, Optional
@@ -20,6 +21,8 @@ from typing import List, Optional
 import numpy as np
 
 from valley_tpu.data import transforms as T
+
+logger = logging.getLogger(__name__)
 
 
 def _decode_indices_cv2(path: str, indices: np.ndarray) -> List[np.ndarray]:
@@ -106,6 +109,19 @@ def load_video(path: str,
     permute to (T, C, H, W) for the model, `dataset.py:122`).
     """
     if os.path.isfile(path):
+        if not os.environ.get("VALLEY_DISABLE_NATIVE"):
+            try:
+                # One-pass native C++ decode+preprocess (demux/decode/
+                # resize/crop/normalize) — verified ~1e-7 vs this python
+                # pipeline.
+                from valley_tpu import native
+
+                return native.decode_preprocess(
+                    path, frame_mode, fixed_frame_number, fps_number,
+                    scale_size, crop_size)
+            except (ImportError, IOError) as e:
+                logger.debug("native decode unavailable (%s); "
+                             "falling back to cv2/imageio", e)
         frames = _load_file(path, frame_mode, fixed_frame_number, fps_number)
         return hot_path_transform(crop_size, scale_size)(frames)
 
@@ -142,14 +158,6 @@ def load_video(path: str,
 
 def _load_file(path: str, frame_mode: str, fixed_frame_number: int,
                fps_number: float) -> List[np.ndarray]:
-    # Native C++ extension first (decode + sample in one pass).
-    try:
-        from valley_tpu.native import video_decode  # type: ignore
-
-        return video_decode.decode_uniform(path, frame_mode,
-                                           fixed_frame_number, fps_number)
-    except ImportError:
-        pass
     try:
         n, fps = _video_meta_cv2(path)
         idx = sample_indices(n, frame_mode, fixed_frame_number, fps,
