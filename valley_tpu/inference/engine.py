@@ -75,8 +75,19 @@ class Engine:
                  max_new_tokens: int = 1024,
                  cache_dtype=jnp.bfloat16,
                  use_flash: Optional[bool] = None,
-                 steps_per_call: int = 4):
+                 steps_per_call: int = 4,
+                 mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            # Multi-chip serving: params shard per the (data, fsdp, model)
+            # rules (TP for latency, fsdp for fitting 13B across chips);
+            # the reference's equivalent is `device_map="auto"` layer
+            # spreading (`model_worker.py:55-58`) — here XLA emits the
+            # collectives instead.
+            from valley_tpu.parallel.sharding import shard_params
+
+            params = shard_params(mesh, params)
         self.params = params
         self.buckets = tuple(sorted(buckets))
         self.max_new_tokens = max_new_tokens
@@ -109,6 +120,12 @@ class Engine:
             params, cfg, input_ids, images if has_images else None)
         cache = llama.init_cache(cfg.text, b, bucket + self.max_new_tokens,
                                  self.cache_dtype)
+        if self.mesh is not None:
+            from valley_tpu.parallel.sharding import kv_cache_sharding
+
+            sh = kv_cache_sharding(self.mesh, b, cfg.text.kv_heads)
+            cache = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, sh), cache)
         smax = cache.max_len
         kv_valid = (jnp.arange(smax)[None, :]
                     < prompt_len[:, None])               # (B, Smax)
@@ -183,7 +200,10 @@ class Engine:
         key, sub = jax.random.split(key)
         has_images = images is not None
         if has_images:
-            images = jnp.asarray(images)
+            # bf16 on the host before transfer: halves H2D bytes (matters
+            # for video -> first-token latency through the PCIe/tunnel hop)
+            images = jnp.asarray(np.asarray(images, np.float32).astype(
+                jnp.bfloat16))
         else:
             # static-shape placeholder; never touched when has_images=False
             v = self.cfg.vision

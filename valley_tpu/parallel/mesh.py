@@ -40,9 +40,12 @@ def create_mesh(data: int = -1, fsdp: int = 1, model: int = 1,
         if n % known:
             raise ValueError(f"{n} devices not divisible by {known}")
         sizes[sizes.index(-1)] = n // known
-    if int(np.prod(sizes)) != n:
-        raise ValueError(f"mesh {sizes} != {n} devices")
-    arr = np.asarray(devices).reshape(sizes)
+    want = int(np.prod(sizes))
+    if want > n:
+        raise ValueError(f"mesh {sizes} needs {want} devices, have {n}")
+    # explicit sizes may use a subset of the devices (e.g. a 2-chip TP
+    # serving mesh on an 8-chip host)
+    arr = np.asarray(devices[:want]).reshape(sizes)
     return Mesh(arr, AXES)
 
 

@@ -32,7 +32,8 @@ from typing import Optional
 from valley_tpu.constants import LOGDIR
 from valley_tpu.conversation import conv_templates
 from valley_tpu.serve.httpd import JsonHttpServer, post_json
-from valley_tpu.utils.logging import server_error_msg
+from valley_tpu.utils.logging import (moderation_msg, server_error_msg,
+                                      violates_moderation)
 
 logger = logging.getLogger("web_server")
 
@@ -171,6 +172,13 @@ class WebServer:
         media = data.get("media")
         media_type = data.get("media_type")
         history = data.get("history") or []
+
+        if violates_moderation(text):
+            # parity with the web server's moderation gate
+            # (`gradio_web_server_video.py:141-148`)
+            yield json.dumps({"text": moderation_msg,
+                              "error_code": 1}).encode() + b"\0"
+            return
 
         conv = conv_templates[self.conv_mode].copy()
         for role, message in history:

@@ -201,6 +201,17 @@ class Trainer:
         os.makedirs(tc.output_dir, exist_ok=True)
         self._log_path = os.path.join(tc.output_dir, "trainer.log")
         self._metrics_path = os.path.join(tc.output_dir, "metrics.jsonl")
+        self._wandb = None
+        if tc.report_to == "wandb":
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=os.environ.get("WANDB_PROJECT", "valley"),
+                    name=tc.run_name, config=dataclasses.asdict(tc))
+            except ImportError:
+                logger.warning("report_to=wandb but wandb is not "
+                               "installed; file logging only")
 
     # -- jitted step -----------------------------------------------------
 
@@ -223,6 +234,9 @@ class Trainer:
         # parity with LLMCallback's trainer.log (`trainner.py:34-49`)
         with open(self._log_path, "a") as f:
             f.write(line + "\n")
+        if self._wandb is not None:
+            self._wandb.log({k: v for k, v in record.items()
+                             if isinstance(v, (int, float))})
         logger.info(line)
 
     def save(self, step: int):

@@ -131,5 +131,26 @@ def print_trainable_params(params: Any, labels: Any = None) -> str:
     return table
 
 
+def violates_moderation(text: str) -> bool:
+    """OpenAI moderation check (`valley/utils.py:155-173` parity): flags
+    disallowed user input in the serve path.  Fails open (False) when no
+    API key is configured or the request errors."""
+    api_key = os.environ.get("OPENAI_API_KEY")
+    if not api_key:
+        return False
+    try:
+        import requests
+
+        url = "https://api.openai.com/v1/moderations"
+        headers = {"Content-Type": "application/json",
+                   "Authorization": "Bearer " + api_key}
+        text = text.replace("\n", "")
+        ret = requests.post(url, headers=headers,
+                            json={"input": text}, timeout=5)
+        return bool(ret.json()["results"][0]["flagged"])
+    except Exception:
+        return False
+
+
 def disable_progress():
     os.environ["TQDM_DISABLE"] = "1"
