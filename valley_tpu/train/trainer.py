@@ -216,11 +216,32 @@ class Trainer:
     # -- jitted step -----------------------------------------------------
 
     def _train_step_impl(self, state: TrainState, batch):
-        loss, grads = jax.value_and_grad(self._loss_fn)(state.params, batch)
+        # Differentiate ONLY the trainable subtree (equinox-style
+        # partition/combine with None placeholders): with freeze_backbone
+        # (stage 1) this avoids materializing 13+ GB of decoder cotangents
+        # that the optimizer would immediately discard.  Frozen leaves are
+        # closed over; their zero updates fold away under XLA.
+        labels = self.labels
+        is_none = lambda x: x is None  # noqa: E731
+
+        trainable = jax.tree.map(
+            lambda p, l: p if l != "frozen" else None, state.params, labels)
+        frozen = jax.tree.map(
+            lambda p, l: p if l == "frozen" else None, state.params, labels)
+
+        def loss_of(tr):
+            merged = jax.tree.map(lambda t, f: f if t is None else t,
+                                  tr, frozen, is_leaf=is_none)
+            return self._loss_fn(merged, batch)
+
+        loss, grads_tr = jax.value_and_grad(loss_of)(trainable)
+        gnorm = optax.global_norm(grads_tr)  # None leaves flatten away
+        grads = jax.tree.map(
+            lambda g, p: jnp.zeros_like(p) if g is None else g,
+            grads_tr, state.params, is_leaf=is_none)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
-        gnorm = optax.global_norm(grads)
         return TrainState(params, opt_state, state.step + 1), \
             {"loss": loss, "grad_norm": gnorm}
 
