@@ -201,3 +201,67 @@ def test_web_vote_logged(stack, tmp_path, monkeypatch):
 def test_unknown_route_404(stack):
     r = requests.post(stack["ctrl_addr"] + "/nope", json={})
     assert r.status_code == 404
+
+
+def test_proxy_to_dead_worker_is_error_code_3():
+    """Failure detection: a registered worker that died mid-service maps
+    to error_code 3 (`controller.py:209-215` parity)."""
+    ctrl = Controller("shortest_queue")
+    ctrl.register_worker("http://localhost:1", False,  # nothing listens
+                         {"model_names": ["dead"], "speed": 1,
+                          "queue_length": 0})
+    chunks = [json.loads(c.decode().rstrip("\0")) for c in
+              ctrl.worker_api_generate_stream({"model": "dead",
+                                               "prompt": "x"})]
+    assert chunks[-1]["error_code"] == 3
+
+
+def test_controller_concurrent_stress():
+    """Registry under concurrent register/heartbeat/dispatch/expiry from
+    many threads (the reference has no race tooling, SURVEY §5 — this is
+    the race-exercise test of our control plane)."""
+    import threading
+
+    ctrl = Controller("shortest_queue")
+    errors = []
+
+    def registrar(i):
+        try:
+            for k in range(50):
+                ctrl.register_worker(
+                    f"http://w{i}:{k % 5}", False,
+                    {"model_names": ["m"], "speed": 1, "queue_length": k})
+                ctrl.receive_heart_beat(f"http://w{i}:{k % 5}", k)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def dispatcher():
+        try:
+            for _ in range(200):
+                ctrl.get_worker_address("m")
+                ctrl.list_models()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def reaper():
+        try:
+            for _ in range(50):
+                ctrl.remove_stale_workers_by_expiration()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=registrar, args=(i,))
+               for i in range(4)]
+    threads += [threading.Thread(target=dispatcher) for _ in range(2)]
+    threads += [threading.Thread(target=reaper)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert ctrl.get_worker_address("m") != ""
+
+
+def test_engine_warmup(engine_and_tokenizer):
+    eng, _tk = engine_and_tokenizer
+    eng.warmup(batch_sizes=(1,), frames=2)  # compiles without error

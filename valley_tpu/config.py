@@ -26,6 +26,9 @@ class VisionConfig:
     image_size: int = 224
     patch_size: int = 14
     layer_norm_eps: float = 1e-5
+    # "quick_gelu" (OpenAI CLIP / ChineseCLIP ViT-L) or "gelu" (some
+    # open_clip exports).
+    hidden_act: str = "quick_gelu"
     # Index into the hidden-state stack to tap; -2 reproduces
     # `mm_vision_select_layer: -2` (`valley_stage1.yaml:35`).
     select_layer: int = -2

@@ -175,6 +175,29 @@ class Engine:
 
     # -- host-side loop --------------------------------------------------
 
+    def warmup(self, batch_sizes: Sequence[int] = (1,),
+               frames: Optional[int] = None,
+               with_images: bool = True) -> None:
+        """Pre-compile every (bucket, batch) executable so the first real
+        request hits a warm cache (the reference pays its compile/alloc
+        cost on the first request too, but here a cold compile is tens of
+        seconds — serve workers call this at startup)."""
+        gen = GenerationConfig(max_new_tokens=min(self.steps_per_call + 1,
+                                                  self.max_new_tokens),
+                               do_sample=False)
+        t = frames or 1
+        v = self.cfg.vision
+        for b in batch_sizes:
+            for bucket in self.buckets:
+                prompt = [[1] * (bucket // 2) for _ in range(b)]
+                images = None
+                if with_images:
+                    images = np.zeros((b, t, 3, v.image_size, v.image_size),
+                                      np.float32)
+                for _ in self.generate_tokens(prompt, images, gen,
+                                              eos_ids=[-1]):
+                    pass
+
     def pick_bucket(self, length: int) -> int:
         for b in self.buckets:
             if length <= b:

@@ -78,6 +78,15 @@ def quick_gelu(x):
     return (xf * jax.nn.sigmoid(1.702 * xf)).astype(x.dtype)
 
 
+def _activation(x, name: str):
+    if name == "quick_gelu":
+        return quick_gelu(x)
+    if name == "gelu":
+        return jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(
+            x.dtype)
+    raise ValueError(f"unsupported vision activation {name!r}")
+
+
 def _patchify(pixel_values: jnp.ndarray, cfg: VisionConfig) -> jnp.ndarray:
     """(B, 3, H, W) -> (B, num_patches, 3*p*p) in conv-weight dot order
     (in_ch, kh, kw), row-major patch grid — bit-identical to the torch
@@ -104,7 +113,8 @@ def _encoder_layer(lp, x, cfg: VisionConfig):
 
     residual = x
     x = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], cfg.layer_norm_eps)
-    x = quick_gelu(x @ lp["fc1"] + lp["fc1_bias"]) @ lp["fc2"] + lp["fc2_bias"]
+    x = _activation(x @ lp["fc1"] + lp["fc1_bias"],
+                    cfg.hidden_act) @ lp["fc2"] + lp["fc2_bias"]
     return residual + x
 
 

@@ -293,10 +293,16 @@ def main():
     parser.add_argument("--stream-interval", type=int, default=2)
     parser.add_argument("--no-register", action="store_true")
     parser.add_argument("--num-frames", type=int, default=8)
+    parser.add_argument("--warmup", action="store_true",
+                        help="pre-compile every bucket before registering")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
     engine, tokenizer = load_engine(args)
+    if args.warmup:
+        logger.info("warming up %s buckets...", engine.buckets)
+        engine.warmup(frames=args.num_frames)
+        logger.info("warmup done")
     worker = ModelWorker(args.controller_address, args.worker_address,
                          args.model_name, engine, tokenizer,
                          args.limit_model_concurrency,

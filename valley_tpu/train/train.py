@@ -185,6 +185,29 @@ def train(conf_path: str) -> int:
     else:
         ckpt_lib.save_pytree(final_dir, trainer.state.params)
     logger.info("training done at step %d; saved to %s", step, final_dir)
+
+    # post-training generate-eval (stage-2 predict_with_generate flow;
+    # eval subset = first eval_num training samples, `eval_num` knob)
+    if tc.predict_with_generate and len(module["train_dataset"]):
+        from valley_tpu.inference.engine import Engine, GenerationConfig
+        from valley_tpu.train.eval_loop import generate_eval
+
+        params_eval = jax.device_get(trainer.state.params)
+        if tc.lora:
+            params_eval = lora_lib.merge_lora(params_eval)
+        max_len = getattr(tokenizer, "model_max_length", 2048)
+        engine = Engine(cfg, params_eval,
+                        buckets=(min(1024, max_len), max_len),
+                        max_new_tokens=min(tc.generation_max_length, 1024))
+        pred_file = tc.prediction_file_name or os.path.join(
+            tc.output_dir, "eval_result.jsonl")
+        metrics = generate_eval(
+            engine, tokenizer, module["train_dataset"],
+            eval_num=tc.eval_num, conv_mode=data_args.conv_mode,
+            prediction_file=pred_file,
+            gen=GenerationConfig(max_new_tokens=256, do_sample=False))
+        trainer.log({"step": step, **{f"eval_{k}": v
+                                      for k, v in metrics.items()}})
     return step
 
 

@@ -79,6 +79,12 @@ class TrainConfig:
     # "start:stop" step range to capture a jax.profiler trace into
     # <output_dir>/trace (e.g. "5:8"); None disables
     profile_steps: Optional[str] = None
+    # post-training generate-eval (stage-2 `predict_with_generate` /
+    # `prediction_file_name` / `generation_max_length` keys)
+    predict_with_generate: bool = False
+    prediction_file_name: Optional[str] = None
+    generation_max_length: int = 1536
+    eval_num: int = 400
 
 
 class TrainState(NamedTuple):
