@@ -188,3 +188,26 @@ def test_optimizer_multistep_accumulation(cfg, params):
     tx, _sched, _labels = make_optimizer(params, tc, total_steps=10)
     state = tx.init(params)
     assert state is not None
+
+
+def test_lora_training_with_adapter_snapshots(cfg, params, tmp_path):
+    out = str(tmp_path / "lora_out")
+    tc = TrainConfig(output_dir=out, learning_rate=1e-3, lora=True,
+                     lora_r=4, lora_save_strategy="steps",
+                     tune_mm_mlp_adapter=True, num_train_epochs=1,
+                     per_device_train_batch_size=8,
+                     gradient_checkpointing=False, save_steps=1,
+                     mesh_data=1, mesh_fsdp=8, mesh_model=1)
+    p = lora_lib.add_lora(jax.tree.map(jnp.copy, params),
+                          jax.random.key(3), r=4, dtype=jnp.float32)
+    loader = make_loader(cfg, batch=8)
+    trainer = Trainer(cfg, tc, p, loader)
+    base_wq = np.asarray(params["llama"]["layers"]["wq"])
+    trainer.train(resume=False)
+    final = jax.device_get(trainer.state.params)
+    # base frozen, adapters moved
+    np.testing.assert_array_equal(
+        np.asarray(final["llama"]["layers"]["wq"]), base_wq)
+    assert np.abs(np.asarray(
+        final["llama"]["layers"]["wq_lora_b"])).sum() > 0
+    assert any(d.startswith("adapter-") for d in os.listdir(out))

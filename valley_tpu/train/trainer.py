@@ -70,6 +70,9 @@ class TrainConfig:
     lora: bool = False
     lora_r: int = 16
     lora_alpha: int = 32
+    # "no" | "steps": also drop adapter-only snapshots at save_steps
+    # (`LLMCallback` parity, trainner.py:51-120 / lora_save_strategy)
+    lora_save_strategy: str = "no"
     # mesh
     mesh_data: int = 1
     mesh_fsdp: int = -1
@@ -270,6 +273,12 @@ class Trainer:
         ckpt_lib.save_checkpoint(
             self.tc.output_dir, self.state, step,
             keep=self.tc.save_total_limit)
+        if self.tc.lora and self.tc.lora_save_strategy == "steps":
+            from valley_tpu.train import lora as lora_lib
+
+            ckpt_lib.save_pytree(
+                os.path.join(self.tc.output_dir, f"adapter-{step}"),
+                lora_lib.split_lora(jax.device_get(self.state.params)))
 
     def maybe_resume(self) -> int:
         restored = ckpt_lib.restore_latest(self.tc.output_dir, self.state)
