@@ -48,6 +48,7 @@ def main():
                                    vi_start=31994, vi_end=31995))
         frames_n, seq_bucket, decode_n = 8, 512, 128
 
+    quant = os.environ.get("VALLEY_BENCH_QUANT") == "int8"
     dtype = jnp.bfloat16
     if size == "tiny":
         params = valley.init_params(cfg, jax.random.key(0), dtype=dtype)
@@ -60,6 +61,10 @@ def main():
             jax.random.key(0))
         params = jax.tree.map(
             lambda s: jnp.full(s.shape, 0.008, s.dtype), shapes)
+    if quant:
+        from valley_tpu.ops.quant import quantize_llama_params
+
+        params = quantize_llama_params(params)
     jax.block_until_ready(params)
 
     engine = Engine(cfg, params, buckets=(seq_bucket,),

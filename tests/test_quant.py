@@ -1,0 +1,70 @@
+"""Weight-only int8 serving quantization: accuracy and engine integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from valley_tpu import config as C
+from valley_tpu.inference import Engine, GenerationConfig
+from valley_tpu.models import valley
+from valley_tpu.ops.quant import quantize_llama_params, quantize_tensor
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return C.valley_tiny()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return valley.init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+
+
+def test_quantize_tensor_roundtrip():
+    w = jax.random.normal(jax.random.key(1), (64, 48)) * 0.1
+    q, scale = quantize_tensor(w)
+    assert q.dtype == jnp.int8 and scale.shape == (1, 48)
+    recon = q.astype(jnp.float32) * scale.astype(jnp.float32)
+    rel = float(jnp.abs(recon - w).max() / jnp.abs(w).max())
+    assert rel < 0.01  # per-channel int8: <1% of the channel max
+
+
+def test_quantize_stacked_matches_per_layer():
+    w = jax.random.normal(jax.random.key(2), (3, 16, 8))
+    q_all, s_all = quantize_tensor(w)
+    for i in range(3):
+        q_i, s_i = quantize_tensor(w[i])
+        np.testing.assert_array_equal(np.asarray(q_all[i]),
+                                      np.asarray(q_i))
+        np.testing.assert_allclose(np.asarray(s_all[i]), np.asarray(s_i))
+
+
+def test_quantized_forward_close(cfg, params):
+    qparams = quantize_llama_params(jax.tree.map(jnp.copy, params))
+    assert qparams["llama"]["layers"]["wq"].dtype == jnp.int8
+    assert qparams["llama"]["lm_head"].dtype == jnp.int8
+    ids = jnp.asarray(np.random.default_rng(0).integers(5, 400, (1, 24)))
+    full = valley.forward(params, cfg, ids)
+    quant = valley.forward(qparams, cfg, ids)
+    # greedy choices should mostly agree on random weights; logits close
+    agree = float((jnp.argmax(full, -1) == jnp.argmax(quant, -1)).mean())
+    assert agree > 0.8, agree
+    assert float(jnp.abs(full - quant).max()) < 0.5
+
+
+def test_quantized_engine_generates(cfg, params):
+    qparams = quantize_llama_params(jax.tree.map(jnp.copy, params))
+    eng = Engine(cfg, qparams, buckets=(32,), max_new_tokens=6,
+                 cache_dtype=jnp.float32, use_flash=False)
+    toks = [int(t[0]) for t in eng.generate_tokens(
+        [list(range(10, 25))],
+        gen=GenerationConfig(max_new_tokens=4, do_sample=False),
+        eos_ids=[-1])]
+    assert len(toks) == 4
+
+
+def test_quantize_idempotent(cfg, params):
+    q1 = quantize_llama_params(jax.tree.map(jnp.copy, params))
+    q2 = quantize_llama_params(q1)  # already int8 -> no-op
+    assert q2["llama"]["layers"]["wq"].dtype == jnp.int8

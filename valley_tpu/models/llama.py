@@ -89,8 +89,16 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
 def _proj(lp, name: str, x: jnp.ndarray) -> jnp.ndarray:
     """x @ W plus the LoRA low-rank delta when adapter factors are present
     (frozen base + trainable A/B — the param-tree-surgery equivalent of
-    peft's target_modules, reference `train.py:153-161`)."""
-    out = x @ lp[name]
+    peft's target_modules, reference `train.py:153-161`).  int8 weights
+    (serving quantization, `ops/quant.py`) dequantize into the matmul."""
+    w = lp[name]
+    if w.dtype == jnp.int8:
+        out = jnp.einsum("...i,io->...o", x, w.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
+        out = (out * lp[name + "_scale"].astype(jnp.float32)
+               ).astype(x.dtype)
+    else:
+        out = x @ w
     a = lp.get(name + "_lora_a")
     if a is not None:
         delta = (x @ a) @ lp[name + "_lora_b"]
@@ -225,7 +233,12 @@ def forward_hidden(params, cfg: TextConfig, inputs_embeds: jnp.ndarray,
 
 
 def logits_from_hidden(params, hidden: jnp.ndarray) -> jnp.ndarray:
-    return (hidden @ params["lm_head"]).astype(jnp.float32)
+    w = params["lm_head"]
+    if w.dtype == jnp.int8:
+        y = jnp.einsum("...i,io->...o", hidden, w.astype(hidden.dtype),
+                       preferred_element_type=jnp.float32)
+        return y * params["lm_head_scale"].astype(jnp.float32)
+    return (hidden @ w).astype(jnp.float32)
 
 
 def forward(params, cfg: TextConfig, inputs_embeds, attn_mask=None,

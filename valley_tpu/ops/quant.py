@@ -1,0 +1,82 @@
+"""Weight-only int8 quantization for serving.
+
+Symmetric per-output-channel int8 on the decoder's large matmuls +
+lm_head: halves the HBM bytes read per decoded token, which is the decode
+roofline (single-stream decode reads every weight once per token).  The
+dequant (int8 -> bf16 * scale) fuses into the matmul operand load under
+XLA; activations and the KV cache stay bf16.
+
+Usage: ``params = quantize_llama_params(params)`` before building the
+Engine.  `llama._proj` / `logits_from_hidden` detect int8 weights via
+dtype and apply the stored ``<name>_scale``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+QUANT_TARGETS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def _quantize_one(w: jnp.ndarray):
+    # bf16 math: int8 magnitudes are exactly representable, no fp32 copy
+    amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True).astype(jnp.float32)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0).astype(w.dtype)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
+
+
+@jax.jit
+def _quantize_stacked(w: jnp.ndarray):
+    """(L, in, out) quantized one layer at a time (lax.map) so the
+    transient is one layer, not the whole 2.9-6 GB stack."""
+    return jax.lax.map(_quantize_one, w)
+
+
+def quantize_tensor(w: jnp.ndarray, axis: int = -2):
+    """Symmetric int8 over the contraction axis.
+
+    w: (..., in, out) — scale has shape (..., 1, out) so that
+    ``x @ w ≈ (x @ w_q) * scale``."""
+    if w.ndim == 3:
+        return _quantize_stacked(w)
+    return _quantize_one(w)
+
+
+def quantize_llama_params(params, targets: Sequence[str] = QUANT_TARGETS,
+                          quantize_lm_head: bool = True):
+    """Quantize the decoder weights to int8.
+
+    CONSUMES the input tree: original bf16 arrays are dropped tensor by
+    tensor so peak device memory stays ~(full model + one layer) — a 7B
+    bf16 tree plus a second fp32/bf16 copy would not fit a 16 GB chip.
+    """
+    llama_p = params["llama"]            # mutated in place, see docstring
+    layers = llama_p["layers"]
+    for name in targets:
+        if name not in layers or layers[name].dtype == jnp.int8:
+            continue
+        q, scale = quantize_tensor(layers[name])
+        jax.block_until_ready(q)
+        layers[name] = q                 # drop the bf16 stack before the
+        layers[name + "_scale"] = scale  # next tensor quantizes
+    if quantize_lm_head and llama_p["lm_head"].dtype != jnp.int8:
+        q, scale = quantize_tensor(llama_p["lm_head"])
+        jax.block_until_ready(q)
+        llama_p["lm_head"] = q
+        llama_p["lm_head_scale"] = scale
+    return params
+
+
+def dequant_matmul(x: jnp.ndarray, w: jnp.ndarray,
+                   scale: jnp.ndarray) -> jnp.ndarray:
+    """x @ dequant(w): int8 weight path, bf16 accumulate-scale."""
+    y = jax.lax.dot_general(
+        x, w.astype(x.dtype),
+        (((x.ndim - 1,), (w.ndim - 2,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return (y * scale.reshape((1,) * (y.ndim - 1) + (-1,)).astype(
+        jnp.float32)).astype(x.dtype)

@@ -269,6 +269,10 @@ def load_engine(args):
         tokenizer = ByteFallbackTokenizer()
         cfg = C.valley_tiny().replace(tokens=tokenizer.special_tokens())
         params = valley.init_params(cfg, jax.random.key(0), jnp.float32)
+    if getattr(args, "quantize", None) == "int8":
+        from valley_tpu.ops.quant import quantize_llama_params
+
+        params = quantize_llama_params(params)
     engine = Engine(cfg, params,
                     buckets=tuple(int(b) for b in args.buckets.split(",")),
                     max_new_tokens=args.max_new_tokens)
@@ -295,6 +299,10 @@ def main():
     parser.add_argument("--num-frames", type=int, default=8)
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile every bucket before registering")
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=["int8"],
+                        help="weight-only int8 decoder quantization "
+                             "(~1.6x decode throughput)")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
