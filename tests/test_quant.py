@@ -64,6 +64,25 @@ def test_quantized_engine_generates(cfg, params):
     assert len(toks) == 4
 
 
+def test_quantized_tp_inference_matches(cfg, params):
+    """int8 + tensor parallelism composes: scales follow the model axis."""
+    from valley_tpu.parallel import create_mesh
+
+    qparams = quantize_llama_params(jax.tree.map(jnp.copy, params))
+    base = Engine(cfg, jax.tree.map(jnp.copy, qparams), buckets=(32,),
+                  max_new_tokens=6, cache_dtype=jnp.float32,
+                  use_flash=False)
+    gen = GenerationConfig(max_new_tokens=4, do_sample=False)
+    expect = [int(t[0]) for t in base.generate_tokens(
+        [list(range(10, 25))], gen=gen, eos_ids=[-1])]
+    sharded = Engine(cfg, qparams, buckets=(32,), max_new_tokens=6,
+                     cache_dtype=jnp.float32, use_flash=False,
+                     mesh=create_mesh(1, 2, 2))
+    got = [int(t[0]) for t in sharded.generate_tokens(
+        [list(range(10, 25))], gen=gen, eos_ids=[-1])]
+    assert got == expect
+
+
 def test_quantize_idempotent(cfg, params):
     q1 = quantize_llama_params(jax.tree.map(jnp.copy, params))
     q2 = quantize_llama_params(q1)  # already int8 -> no-op

@@ -39,6 +39,8 @@ def llama_param_specs(params_llama) -> Any:
         "layers": {k: layer_specs.get(_base_name(k), _lora_spec(k))
                    for k in params_llama["layers"]},
     }
+    if "lm_head_scale" in params_llama:
+        specs["lm_head_scale"] = P(None, "model")
     return specs
 
 
@@ -54,6 +56,10 @@ def _lora_spec(key: str) -> P:
     if key.endswith("_lora_a"):
         return P(None, "fsdp", None)
     if key.endswith("_lora_b"):
+        return P(None, None, "model")
+    if key.endswith("_scale"):
+        # int8 quantization scales: follow the output (model) axis of
+        # their (L, 1, out) weight
         return P(None, None, "model")
     return P()
 
