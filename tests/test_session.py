@@ -1,0 +1,132 @@
+"""Multi-turn ChatSession (KV-prefix reuse) must match full re-prefill
+generation token-for-token."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from valley_tpu import config as C
+from valley_tpu.inference import Engine, GenerationConfig
+from valley_tpu.inference.engine import ChatSession
+from valley_tpu.models import valley
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return C.valley_tiny()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return valley.init_params(cfg, jax.random.key(21), dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def engine(cfg, params):
+    return Engine(cfg, params, buckets=(64,), max_new_tokens=8,
+                  cache_dtype=jnp.float32, use_flash=False,
+                  steps_per_call=3)
+
+
+def _full_generation(engine, conversation, images=None, n=6):
+    gen = GenerationConfig(max_new_tokens=n, do_sample=False)
+    return [int(t[0]) for t in engine.generate_tokens(
+        [conversation], images, gen, eos_ids=[-1])]
+
+
+def test_session_single_turn_matches_generate(cfg, engine):
+    prompt = list(range(10, 40))
+    expect = _full_generation(engine, prompt, n=6)
+    sess = ChatSession(engine, GenerationConfig(max_new_tokens=6,
+                                                do_sample=False))
+    got = sess.chat(prompt, eos_ids=[-1])
+    assert got == expect
+
+
+def test_session_second_turn_matches_full_reprefill(cfg, engine):
+    prompt = list(range(10, 40))
+    turn2 = list(range(50, 62))
+    gen = GenerationConfig(max_new_tokens=5, do_sample=False)
+
+    sess = ChatSession(engine, gen)
+    reply1 = sess.chat(prompt, eos_ids=[-1])
+    reply2 = sess.chat(turn2, eos_ids=[-1])
+
+    # reference: re-prefill the whole conversation
+    conversation = prompt + reply1 + turn2
+    expect2 = _full_generation(engine, conversation, n=5)
+    assert reply2 == expect2, (reply2, expect2)
+
+
+def test_session_three_turns(cfg, engine):
+    gen = GenerationConfig(max_new_tokens=4, do_sample=False)
+    sess = ChatSession(engine, gen, extra_slots=128)
+    convo = list(range(10, 30))
+    r1 = sess.chat(convo, eos_ids=[-1])
+    convo += r1
+    t2 = [77, 78, 79]
+    r2 = sess.chat(t2, eos_ids=[-1])
+    convo += t2 + r2
+    t3 = [90, 91]
+    r3 = sess.chat(t3, eos_ids=[-1])
+    expect3 = _full_generation(engine, convo + t3, n=4)
+    assert r3 == expect3
+
+
+def test_session_multimodal_first_turn(cfg, engine):
+    tok = cfg.tokens
+    p, t = cfg.num_patches, 2
+    span = [tok.im_start] + [tok.im_patch] * p + [tok.im_end] + \
+        [tok.vi_start] + [tok.vi_frame] * t + [tok.vi_end]
+    prompt = [1] + span + list(range(10, 20))
+    images = np.random.default_rng(3).standard_normal(
+        (1, t, 3, cfg.vision.image_size, cfg.vision.image_size)).astype(
+        np.float32)
+    gen = GenerationConfig(max_new_tokens=4, do_sample=False)
+    sess = ChatSession(engine, gen)
+    r1 = sess.chat(prompt, images=images, eos_ids=[-1])
+    t2 = [60, 61, 62]
+    r2 = sess.chat(t2, eos_ids=[-1])
+    expect2 = _full_generation(engine, prompt + r1 + t2, images, n=4)
+    assert r2 == expect2
+
+
+def test_session_eos_trims_overshoot(cfg, engine):
+    """Stopping mid-chunk: post-stop tokens must not contaminate turn 2."""
+    prompt = list(range(10, 40))
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False)
+    # find what greedy produces, then declare token[1] the eos
+    probe = _full_generation(engine, prompt, n=6)
+    eos = probe[1]
+
+    sess = ChatSession(engine, gen)
+    r1 = sess.chat(prompt, eos_ids=[eos])
+    assert r1 == probe[:2]          # stop token kept, others trimmed
+
+    t2 = [70, 71, 72]
+    r2 = sess.chat(t2, eos_ids=[-1])
+    expect2 = _full_generation(engine, prompt + r1 + t2, n=6)
+    assert r2 == expect2, (r2, expect2)
+
+
+def test_session_media_rejected_on_later_turn(cfg, engine):
+    sess = ChatSession(engine, GenerationConfig(max_new_tokens=2,
+                                                do_sample=False))
+    sess.chat(list(range(10, 20)), eos_ids=[-1])
+    with pytest.raises(ValueError):
+        sess.chat([5, 6], images=np.zeros(
+            (1, 1, 3, cfg.vision.image_size, cfg.vision.image_size),
+            np.float32))
+
+
+def test_session_cache_exhaustion_raises(cfg, params):
+    eng = Engine(cfg, params, buckets=(64,), max_new_tokens=4,
+                 cache_dtype=jnp.float32, use_flash=False)
+    sess = ChatSession(eng, GenerationConfig(max_new_tokens=4,
+                                             do_sample=False),
+                       extra_slots=8)
+    sess.chat(list(range(10, 20)), eos_ids=[-1])
+    with pytest.raises(RuntimeError):
+        for _ in range(20):
+            sess.chat(list(range(30, 40)), eos_ids=[-1])

@@ -103,23 +103,27 @@ class Engine:
 
         self._prefill = jax.jit(
             self._prefill_impl,
-            static_argnames=("bucket", "do_sample", "has_images"))
+            static_argnames=("bucket", "cache_len", "do_sample",
+                             "has_images"))
         self._decode = jax.jit(
             self._decode_impl,
-            static_argnames=("bucket", "do_sample", "n_steps"),
-            donate_argnames=("cache",))
+            static_argnames=("do_sample", "n_steps"),
+            donate_argnames=("cache", "valid"))
+        self._extend = jax.jit(
+            self._extend_impl,
+            static_argnames=("do_sample",),
+            donate_argnames=("cache", "valid"))
 
     # -- jitted bodies ---------------------------------------------------
 
     def _prefill_impl(self, params, input_ids, images, prompt_len, key,
-                      temperature, top_p, *, bucket: int, do_sample: bool,
-                      has_images: bool):
+                      temperature, top_p, *, bucket: int, cache_len: int,
+                      do_sample: bool, has_images: bool):
         cfg = self.cfg
         b = input_ids.shape[0]
         embeds = valley.build_inputs_embeds(
             params, cfg, input_ids, images if has_images else None)
-        cache = llama.init_cache(cfg.text, b, bucket + self.max_new_tokens,
-                                 self.cache_dtype)
+        cache = llama.init_cache(cfg.text, b, cache_len, self.cache_dtype)
         if self.mesh is not None:
             from valley_tpu.parallel.sharding import kv_cache_sharding
 
@@ -137,41 +141,61 @@ class Engine:
             hidden, (prompt_len - 1)[:, None, None], axis=1)  # (B, 1, H)
         logits = llama.logits_from_hidden(params["llama"], last)[:, 0]
         tok = sample_token(logits, key, temperature, top_p, do_sample)
-        return tok, logits, cache
+        valid = kv_valid  # slots [0, prompt_len) hold the prompt
+        return tok, logits, cache, valid
 
-    def _decode_step(self, params, cache: KVCache, token, step, prompt_len,
-                     key, temperature, top_p, *, bucket: int,
-                     do_sample: bool):
+    def _decode_impl(self, params, cache: KVCache, valid, token, slot0,
+                     seq_len, key, temperature, top_p, *,
+                     do_sample: bool, n_steps: int):
+        """Fused decode carrying explicit cache state: ``valid`` (B, Smax)
+        marks attendable slots, ``seq_len`` (B,) is the rotary position of
+        the incoming token, ``slot0`` the next free cache slot."""
         cfg = self.cfg
-        embeds = llama.embed(params["llama"], token[:, None])  # (B, 1, H)
-        smax = cache.max_len
-        slots = jnp.arange(smax)[None, :]
-        kv_valid = jnp.logical_or(
-            slots < prompt_len[:, None],
-            jnp.logical_and(slots >= bucket, slots <= bucket + step))
-        positions = (prompt_len + step)[:, None]
+        b = token.shape[0]
+
+        def body(carry, _):
+            token, cache, valid, seq_len, slot, key = carry
+            key, sub = jax.random.split(key)
+            embeds = llama.embed(params["llama"], token[:, None])
+            valid = jax.lax.dynamic_update_slice(
+                valid, jnp.ones((b, 1), valid.dtype), (0, slot))
+            hidden, cache = llama.forward_hidden(
+                params["llama"], cfg.text, embeds,
+                positions=seq_len[:, None], cache=cache, cache_index=slot,
+                kv_valid=valid, use_flash=False)
+            logits = llama.logits_from_hidden(params["llama"], hidden)[:, 0]
+            tok = sample_token(logits, sub, temperature, top_p, do_sample)
+            return (tok, cache, valid, seq_len + 1, slot + 1, key), tok
+
+        (tok, cache, valid, seq_len, _, _), toks = jax.lax.scan(
+            body, (token, cache, valid, seq_len, slot0, key), None,
+            length=n_steps)
+        return toks, cache, valid, seq_len  # toks: (n_steps, B)
+
+    def _extend_impl(self, params, cache: KVCache, valid, input_ids,
+                     new_len, seq_len, slot0, key, temperature, top_p, *,
+                     do_sample: bool):
+        """Append a right-padded (B, C) chunk of new conversation tokens to
+        an existing session cache (multi-turn KV reuse) and sample the
+        next token.  The chunk attends all previously valid slots plus
+        itself causally; pad slots stay invalid."""
+        cfg = self.cfg
+        b, c = input_ids.shape
+        embeds = llama.embed(params["llama"], input_ids)
+        positions = seq_len[:, None] + jnp.arange(c)[None, :]
         hidden, cache = llama.forward_hidden(
             params["llama"], cfg.text, embeds, positions=positions,
-            cache=cache, cache_index=bucket + step, kv_valid=kv_valid,
+            cache=cache, cache_index=slot0, cross_valid=valid,
             use_flash=False)
-        logits = llama.logits_from_hidden(params["llama"], hidden)[:, 0]
+        slots = jnp.arange(cache.max_len)[None, :]
+        valid = jnp.logical_or(
+            valid, jnp.logical_and(slots >= slot0,
+                                   slots < slot0 + new_len[:, None]))
+        last = jnp.take_along_axis(hidden, (new_len - 1)[:, None, None],
+                                   axis=1)
+        logits = llama.logits_from_hidden(params["llama"], last)[:, 0]
         tok = sample_token(logits, key, temperature, top_p, do_sample)
-        return tok, cache
-
-    def _decode_impl(self, params, cache: KVCache, token, step0, prompt_len,
-                     key, temperature, top_p, *, bucket: int,
-                     do_sample: bool, n_steps: int):
-        def body(carry, _):
-            token, cache, step, key = carry
-            key, sub = jax.random.split(key)
-            tok, cache = self._decode_step(
-                params, cache, token, step, prompt_len, sub, temperature,
-                top_p, bucket=bucket, do_sample=do_sample)
-            return (tok, cache, step + 1, key), tok
-
-        (tok, cache, _, _), toks = jax.lax.scan(
-            body, (token, cache, step0, key), None, length=n_steps)
-        return toks, cache  # toks: (n_steps, B)
+        return tok, cache, valid, seq_len + new_len
 
     # -- host-side loop --------------------------------------------------
 
@@ -233,10 +257,13 @@ class Engine:
             images = jnp.zeros((len(input_ids), 1, 3, v.image_size,
                                 v.image_size), jnp.bfloat16)
 
-        tok, _logits, cache = self._prefill(
+        tok, _logits, cache, valid = self._prefill(
             self.params, jnp.asarray(ids), images, jnp.asarray(lens), sub,
             gen.temperature, gen.top_p, bucket=bucket,
+            cache_len=bucket + self.max_new_tokens,
             do_sample=gen.do_sample, has_images=has_images)
+        seq_len = jnp.asarray(lens)
+        slot = bucket  # prompt chunk occupied slots [0, bucket)
 
         max_new = min(gen.max_new_tokens, self.max_new_tokens)
         alive = np.ones(len(input_ids), bool)
@@ -248,10 +275,11 @@ class Engine:
         while step < max_new and alive.any():
             n_steps = min(self.steps_per_call, max_new - step)
             key, sub = jax.random.split(key)
-            toks, cache = self._decode(
-                self.params, cache, tok, jnp.int32(step - 1),
-                jnp.asarray(lens), sub, gen.temperature, gen.top_p,
-                bucket=bucket, do_sample=gen.do_sample, n_steps=n_steps)
+            toks, cache, valid, seq_len = self._decode(
+                self.params, cache, valid, tok, jnp.int32(slot), seq_len,
+                sub, gen.temperature, gen.top_p,
+                do_sample=gen.do_sample, n_steps=n_steps)
+            slot += n_steps
             toks_np = np.asarray(toks)            # (n_steps, B)
             tok = toks[-1]
             for i in range(n_steps):
@@ -293,3 +321,169 @@ def _apply_stops(text: str, stops: Sequence[str]) -> tuple[bool, str]:
         if idx >= 0:
             return True, text[:idx]
     return False, text
+
+
+@jax.jit
+def _trim_valid(valid, keep_below, drop_until):
+    """Invalidate cache slots in [keep_below, drop_until) — tokens decoded
+    past the stopping point must not haunt later turns."""
+    slots = jnp.arange(valid.shape[1])[None, :]
+    drop = jnp.logical_and(slots >= keep_below, slots < drop_until)
+    return jnp.logical_and(valid, jnp.logical_not(drop))
+
+
+class ChatSession:
+    """Multi-turn generation with KV-prefix reuse (B=1).
+
+    The reference re-runs the full conversation prefill every turn
+    (`model_worker.py:371-376` takes the whole prompt each request); a
+    ChatSession keeps the KV cache across turns, so turn N only prefills
+    its *new* tokens (`engine._extend`) — O(new tokens) instead of
+    O(conversation).  Pass only the NEW token ids per turn, framed
+    consistently (e.g. the '###' separators) since deltas are tokenized
+    independently.  Tokens decoded past the eos/keyword stop are trimmed
+    from the cache so they never leak into later turns.
+    """
+
+    def __init__(self, engine: Engine, gen: Optional[GenerationConfig] = None,
+                 extra_slots: Optional[int] = None):
+        self.engine = engine
+        self.gen = gen or GenerationConfig()
+        self._key = jax.random.key(self.gen.seed)
+        self._state = None  # (cache, valid, seq_host: int, slot: int)
+        self.extra_slots = extra_slots
+
+    @property
+    def started(self) -> bool:
+        return self._state is not None
+
+    def chat(self, new_ids: Sequence[int],
+             images: Optional[np.ndarray] = None,
+             tokenizer=None,
+             eos_ids: Sequence[int] = (2,),
+             on_token=None) -> list:
+        """Run one turn; returns the kept reply token ids (stop token and
+        anything after it removed).  ``on_token(tok_id)`` streams tokens as
+        they arrive (may include a few post-stop tokens from the fused
+        decode, like the reference's every-2-tokens stream).  With a
+        ``tokenizer``, keyword stops from ``gen.stop`` apply."""
+        eng, gen = self.engine, self.gen
+        self._key, sub = jax.random.split(self._key)
+
+        if self._state is None:
+            tok, cache, valid, seq_host, slot = self._first_turn(
+                new_ids, images, sub)
+        else:
+            if images is not None:
+                raise ValueError("media is only supported on the first turn")
+            cache, valid, seq_host, slot, pending = self._state
+            # ``pending`` is the last reply token of the previous turn —
+            # sampled but never fed back, so its KV was never written;
+            # prepend it to this turn's chunk (position seq_host - 1).
+            chunk = ([pending] if pending is not None else []) + \
+                list(new_ids)
+            start_pos = seq_host - (1 if pending is not None else 0)
+            c = len(chunk)
+            cb = 1 << max(4, (max(c, 2) - 1).bit_length())  # pow2 >= 16
+            if slot + cb + gen.max_new_tokens > cache.max_len:
+                raise RuntimeError(
+                    f"session cache exhausted (slot={slot}, need "
+                    f"{cb + gen.max_new_tokens}, max={cache.max_len}); "
+                    "start a new ChatSession")
+            ids = np.zeros((1, cb), np.int32)
+            ids[0, :c] = chunk
+            tok, cache, valid, _seq = eng._extend(
+                eng.params, cache, valid, jnp.asarray(ids),
+                jnp.asarray([c], np.int32), jnp.asarray([start_pos]),
+                jnp.int32(slot), sub, gen.temperature, gen.top_p,
+                do_sample=gen.do_sample)
+            seq_host = start_pos + c
+            slot += cb
+
+        decode_start = slot
+        tokens: list[int] = []
+        max_new = min(gen.max_new_tokens, eng.max_new_tokens)
+        eos_arr = np.asarray(eos_ids)
+        t0 = int(np.asarray(tok)[0])
+        tokens.append(t0)
+        if on_token:
+            on_token(t0)
+        stopped = t0 in eos_arr
+        while len(tokens) < max_new and not stopped:
+            n_steps = min(eng.steps_per_call, max_new - len(tokens))
+            self._key, sub = jax.random.split(self._key)
+            # the pending input token is tokens[-1], at conversation
+            # position seq_host + (len(tokens) - 1)
+            toks, cache, valid, _seq = eng._decode(
+                eng.params, cache, valid, tok, jnp.int32(slot),
+                jnp.asarray([seq_host + len(tokens) - 1]), sub,
+                gen.temperature, gen.top_p, do_sample=gen.do_sample,
+                n_steps=n_steps)
+            slot += n_steps
+            toks_np = np.asarray(toks)[:, 0]
+            tok = toks[-1]
+            for t in toks_np:
+                tokens.append(int(t))
+                if on_token:
+                    on_token(int(t))
+                if int(t) in eos_arr:
+                    stopped = True
+                    break
+            if not stopped and tokenizer is not None and gen.stop:
+                text = tokenizer.decode(tokens, skip_special_tokens=True)
+                if any(s in text for s in gen.stop):
+                    stopped = True
+
+        kept = self._kept_count(tokens, eos_arr, tokenizer)
+        pending = tokens[kept - 1] if kept == len(tokens) else None
+        tokens = tokens[:kept]
+        # The decode loop wrote KV for tokens[0..n_inputs-1] at
+        # decode_start+i (each token is written when fed back as input).
+        # Keep the slots belonging to kept conversation tokens; when the
+        # final kept token was never fed back (pending), its slot doesn't
+        # exist yet — the next turn writes it.
+        written_kept = kept - (1 if pending is not None else 0)
+        commit_slot = decode_start + written_kept
+        valid = _trim_valid(valid, jnp.int32(commit_slot), jnp.int32(slot))
+        self._state = (cache, valid, seq_host + kept, commit_slot, pending)
+        return tokens
+
+    def _kept_count(self, tokens, eos_arr, tokenizer) -> int:
+        kept = len(tokens)
+        for i, t in enumerate(tokens):
+            if t in eos_arr:
+                kept = i + 1  # keep the eos itself as turn terminator
+                break
+        if tokenizer is not None and self.gen.stop:
+            for i in range(1, len(tokens) + 1):
+                text = tokenizer.decode(tokens[:i], skip_special_tokens=True)
+                if any(s in text for s in self.gen.stop):
+                    kept = min(kept, i)
+                    break
+        return kept
+
+    def _first_turn(self, new_ids, images, sub):
+        eng, gen = self.engine, self.gen
+        lens = np.asarray([len(new_ids)], np.int32)
+        bucket = eng.pick_bucket(int(lens[0]))
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :lens[0]] = new_ids
+        has_images = images is not None
+        if has_images:
+            images = jnp.asarray(np.asarray(images, np.float32).astype(
+                jnp.bfloat16))
+        else:
+            v = eng.cfg.vision
+            images = jnp.zeros((1, 1, 3, v.image_size, v.image_size),
+                               jnp.bfloat16)
+        # session caches need headroom beyond one turn: each later turn
+        # consumes a pow2-padded chunk plus its reply slots
+        extra = self.extra_slots
+        if extra is None:
+            extra = 4 * (eng.max_new_tokens + 64)
+        tok, _logits, cache, valid = eng._prefill(
+            eng.params, jnp.asarray(ids), images, jnp.asarray(lens),
+            sub, gen.temperature, gen.top_p, bucket=bucket,
+            cache_len=bucket + eng.max_new_tokens + extra,
+            do_sample=gen.do_sample, has_images=has_images)
+        return tok, cache, valid, int(lens[0]), bucket

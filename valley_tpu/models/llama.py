@@ -107,7 +107,8 @@ def _proj(lp, name: str, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _attn(lp, x, cfg: TextConfig, cos, sin, *, attn_mask=None,
-          cache_kv=None, cache_index=None, kv_valid=None, use_flash=None):
+          cache_kv=None, cache_index=None, kv_valid=None, cross_valid=None,
+          use_flash=None):
     """Self-attention for one layer.
 
     Without a cache: causal attention over the block (training / parity
@@ -137,6 +138,22 @@ def _attn(lp, x, cfg: TextConfig, cos, sin, *, attn_mask=None,
                                           (0, cache_index, 0, 0))
         if s == 1:
             out = decode_attention(q, ck, cv, kv_valid)
+        elif cross_valid is not None:
+            # Session extension: a C-token chunk written at ``cache_index``
+            # attends all previously-valid cache slots plus itself causally
+            # (multi-turn KV reuse — the reference re-prefills the whole
+            # conversation every turn instead).
+            smax = ck.shape[1]
+            slots = jnp.arange(smax)
+            in_chunk = jnp.logical_and(slots >= cache_index,
+                                       slots < cache_index + s)
+            chunk_causal = (slots[None, :] - cache_index
+                            <= jnp.arange(s)[:, None])       # (S, Smax)
+            mask = jnp.logical_or(
+                cross_valid[:, None, :],
+                jnp.logical_and(in_chunk[None, :], chunk_causal)[None])
+            bias = jnp.where(mask[:, None], 0.0, -1e9)       # (B,1,S,Smax)
+            out = mha_attention(q, ck, cv, bias, use_flash=False)
         else:
             # Prefill: the cache beyond this chunk is empty (engine prefills
             # at cache_index=0), so attention runs within the chunk only —
@@ -161,12 +178,13 @@ def _mlp(lp, x):
 
 
 def _layer(lp, x, cfg, cos, sin, attn_mask, cache_kv, cache_index, kv_valid,
-           use_flash):
+           cross_valid, use_flash):
     attn_out, new_kv = _attn(lp, rms_norm(x, lp["attn_norm"],
                                           cfg.rms_norm_eps),
                              cfg, cos, sin, attn_mask=attn_mask,
                              cache_kv=cache_kv, cache_index=cache_index,
-                             kv_valid=kv_valid, use_flash=use_flash)
+                             kv_valid=kv_valid, cross_valid=cross_valid,
+                             use_flash=use_flash)
     x = x + attn_out
     x = x + _mlp(lp, rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps))
     return x, new_kv
@@ -186,6 +204,7 @@ def forward_hidden(params, cfg: TextConfig, inputs_embeds: jnp.ndarray,
                    cache: Optional[KVCache] = None,
                    cache_index=0,
                    kv_valid: Optional[jnp.ndarray] = None,
+                   cross_valid: Optional[jnp.ndarray] = None,
                    remat: bool = False,
                    use_flash: Optional[bool] = None):
     """Run the decoder stack.  Returns (hidden, new_cache_or_None).
@@ -205,6 +224,7 @@ def forward_hidden(params, cfg: TextConfig, inputs_embeds: jnp.ndarray,
     layer_fn = functools.partial(_layer, cfg=cfg, cos=cos, sin=sin,
                                  attn_mask=attn_mask,
                                  cache_index=cache_index, kv_valid=kv_valid,
+                                 cross_valid=cross_valid,
                                  use_flash=use_flash)
 
     def scan_body(x, layer_inputs):

@@ -30,8 +30,15 @@ def chat_loop(engine, tokenizer, conv_mode: str = "v1",
                           scale_size=max(size * 256 // 224, size))
         images = np.transpose(clip, (1, 0, 2, 3))[None]
 
+    from valley_tpu.inference.engine import ChatSession
     from valley_tpu.inference.generate import media_replace_token
 
+    gen = GenerationConfig(max_new_tokens=max_new_tokens,
+                           temperature=temperature,
+                           do_sample=temperature >= 1e-4,
+                           stop=(conv.sep,), stream_interval=2)
+    # Multi-turn KV reuse: later turns only prefill their delta tokens.
+    session = ChatSession(engine, gen)
     first_turn = True
     while True:
         try:
@@ -44,24 +51,31 @@ def chat_loop(engine, tokenizer, conv_mode: str = "v1",
         if first_turn and images is not None:
             inp = media_replace_token(engine.cfg.num_patches,
                                       images.shape[1]) + " " + inp
-            first_turn = False
         conv.append_message(conv.roles[0], inp)
         conv.append_message(conv.roles[1], None)
-        prompt = conv.get_prompt()
-        input_ids = tokenizer.encode(prompt)
+        if first_turn:
+            delta = conv.get_prompt()          # system + first human turn
+        else:
+            delta = (f" {conv.roles[0]}: {inp}{conv.sep}"
+                     f"{conv.roles[1]}:")
+        ids = tokenizer.encode(delta)
+        if not first_turn and ids and ids[0] == getattr(
+                tokenizer, "bos_token_id", 1):
+            ids = ids[1:]                      # no BOS mid-conversation
 
-        gen = GenerationConfig(max_new_tokens=max_new_tokens,
-                               temperature=temperature,
-                               do_sample=temperature >= 1e-4,
-                               stop=(conv.sep,), stream_interval=2)
         print_fn(f"{conv.roles[1]}: ", end="", flush=True)
-        shown = 0
-        text = ""
-        for text in engine.generate(tokenizer, input_ids, images, gen):
-            print_fn(text[shown:], end="", flush=True)
-            shown = len(text)
-        print_fn("")
+        reply = session.chat(ids, images=images if first_turn else None,
+                             tokenizer=tokenizer,
+                             eos_ids=[getattr(tokenizer, "eos_token_id", 2)
+                                      or 2])
+        text = tokenizer.decode(reply, skip_special_tokens=True)
+        for s in gen.stop:
+            idx = text.find(s)
+            if idx >= 0:
+                text = text[:idx]
+        print_fn(text)
         conv.messages[-1][-1] = text
+        first_turn = False
 
 
 def main():
