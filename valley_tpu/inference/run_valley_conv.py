@@ -50,13 +50,21 @@ def main():
     from valley_tpu.inference.generate import media_replace_token
     from valley_tpu.inference.run_valley import load_model
 
+    from valley_tpu.inference.engine import ChatSession
+
     engine, tokenizer = load_model(args.model_name, args.vision_tower,
                                    args.lora_path,
                                    max_new_tokens=args.max_new_tokens)
     print(SHELL_UI_HEADER)
     images = load_frames(engine, args.video_file, args.num_frames)
     conv = conv_templates[args.conv_mode].copy()
-    media_pending = True
+    gen = GenerationConfig(max_new_tokens=args.max_new_tokens,
+                           temperature=args.temperature,
+                           do_sample=args.temperature >= 1e-4,
+                           stop=(conv.sep,))
+    session = ChatSession(engine, gen)   # multi-turn KV reuse
+    eos = [getattr(tokenizer, "eos_token_id", 2) or 2]
+    first_turn = True
 
     while True:
         try:
@@ -73,28 +81,33 @@ def main():
                 print(f"failed to load {path}: {e}")
                 continue
             conv = conv_templates[args.conv_mode].copy()
-            media_pending = True
+            session = ChatSession(engine, gen)
+            first_turn = True
             print(f"switched to {path}; conversation reset.")
             continue
 
-        if media_pending:
+        if first_turn:
             inp = media_replace_token(engine.cfg.num_patches,
                                       images.shape[1]) + " " + inp
-            media_pending = False
         conv.append_message(conv.roles[0], inp)
         conv.append_message(conv.roles[1], None)
-        gen = GenerationConfig(max_new_tokens=args.max_new_tokens,
-                               temperature=args.temperature,
-                               do_sample=args.temperature >= 1e-4,
-                               stop=(conv.sep,))
-        input_ids = tokenizer.encode(conv.get_prompt())
+        if first_turn:
+            ids = tokenizer.encode(conv.get_prompt())
+        else:
+            ids = tokenizer.encode(
+                f" {conv.roles[0]}: {inp}{conv.sep}{conv.roles[1]}:")
+            if ids and ids[0] == getattr(tokenizer, "bos_token_id", 1):
+                ids = ids[1:]
         print(f"{conv.roles[1]}: ", end="", flush=True)
-        shown, text = 0, ""
-        for text in engine.generate(tokenizer, input_ids, images, gen):
-            print(text[shown:], end="", flush=True)
-            shown = len(text)
-        print()
+        reply = session.chat(ids, images=images if first_turn else None,
+                             tokenizer=tokenizer, eos_ids=eos)
+        text = tokenizer.decode(reply, skip_special_tokens=True)
+        idx = text.find(conv.sep)
+        if idx >= 0:
+            text = text[:idx]
+        print(text)
         conv.messages[-1][-1] = text
+        first_turn = False
 
 
 if __name__ == "__main__":
