@@ -59,9 +59,15 @@ def load_hf_tokenizer(path: str, model_max_length: int = 2048,
     """
     import transformers
 
-    tok = transformers.AutoTokenizer.from_pretrained(
-        path, model_max_length=model_max_length, padding_side="right",
-        use_fast=False)
+    try:
+        tok = transformers.AutoTokenizer.from_pretrained(
+            path, model_max_length=model_max_length, padding_side="right",
+            use_fast=False)
+    except (ValueError, OSError, EnvironmentError):
+        # no slow (sentencepiece) files — fall back to a fast tokenizer
+        tok = transformers.AutoTokenizer.from_pretrained(
+            path, model_max_length=model_max_length, padding_side="right",
+            use_fast=True)
     if tok.pad_token is None:
         tok.add_special_tokens({"pad_token": DEFAULT_PAD_TOKEN})
     tok.add_special_tokens({

@@ -260,6 +260,37 @@ def read_state_dict(path: str) -> Dict[str, Any]:
     return sd
 
 
+def resize_token_embeddings(llama_params, new_vocab: int,
+                            num_new_init: Optional[int] = None):
+    """Grow (or shrink) the embedding table and lm_head to ``new_vocab``
+    rows, initializing new rows to the mean of the existing ones — parity
+    with `initialize_vision_tokenizer` (`valley_model.py:354-379`) and
+    `smart_tokenizer_and_embedding_resize` (`data_util.py:86-108`).
+    Returns (new_params, new_vocab_size)."""
+    embed = llama_params["embed"]
+    head = llama_params["lm_head"]          # (H, V)
+    old_vocab = embed.shape[0]
+    if new_vocab == old_vocab:
+        return llama_params, old_vocab
+    out = dict(llama_params)
+    if new_vocab < old_vocab:
+        out["embed"] = embed[:new_vocab]
+        out["lm_head"] = head[:, :new_vocab]
+        return out, new_vocab
+    num_new = new_vocab - old_vocab
+    if num_new_init is None:
+        num_new_init = num_new
+    e_mean = jnp.mean(embed.astype(jnp.float32), axis=0, keepdims=True)
+    h_mean = jnp.mean(head.astype(jnp.float32), axis=1, keepdims=True)
+    out["embed"] = jnp.concatenate(
+        [embed, jnp.broadcast_to(e_mean, (num_new, embed.shape[1])
+                                 ).astype(embed.dtype)], axis=0)
+    out["lm_head"] = jnp.concatenate(
+        [head, jnp.broadcast_to(h_mean, (head.shape[0], num_new)
+                                ).astype(head.dtype)], axis=1)
+    return out, new_vocab
+
+
 def text_config_from_hf(hf_cfg: dict) -> C.TextConfig:
     return C.TextConfig(
         vocab_size=hf_cfg.get("vocab_size", 32000),
@@ -303,8 +334,17 @@ def load_valley_checkpoint(path: str, vision_tower: Optional[str] = None,
                          patch_pooling_method=pooling)
 
     sd = read_state_dict(path)
-    # pad vocab rows if tokenizer grew beyond the stored embedding
     params: Dict[str, Any] = {"llama": convert_llama(sd, text_cfg, dtype)}
+    # the Valley special tokens may extend the vocab beyond the stored
+    # embedding (plain LLaMA base + 6 markers): mean-init the new rows
+    tok_vocab = len(tokenizer)
+    if tok_vocab != params["llama"]["embed"].shape[0]:
+        params["llama"], new_vocab = resize_token_embeddings(
+            params["llama"], tok_vocab)
+        import dataclasses as _dc
+
+        text_cfg = _dc.replace(text_cfg, vocab_size=new_vocab)
+        cfg = cfg.replace(text=text_cfg)
 
     tower_sd = _strip_prefix(
         {k: v for k, v in sd.items() if "vision_tower." in k},

@@ -152,5 +152,13 @@ def violates_moderation(text: str) -> bool:
         return False
 
 
+def pretty_print_semaphore(semaphore) -> str:
+    """(`valley/utils.py:176` parity)"""
+    if semaphore is None:
+        return "None"
+    return (f"Semaphore(value={semaphore._value}, "
+            f"locked={semaphore.locked()})")
+
+
 def disable_progress():
     os.environ["TQDM_DISABLE"] = "1"
