@@ -19,7 +19,7 @@ import math
 import sys
 from concurrent.futures import ThreadPoolExecutor, as_completed
 from pathlib import Path
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 ALGOLIA_HEADERS = {
     "X-Algolia-Api-Key": "a6099f9d3771d6ceb142321ac5273d16",

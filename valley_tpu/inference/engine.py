@@ -19,7 +19,6 @@ Replaces the reference's manual token-by-token decode loops with explicit
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Iterator, Optional, Sequence
 
 import jax

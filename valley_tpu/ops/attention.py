@@ -9,7 +9,6 @@ permit, otherwise XLA's fused softmax(QK^T)V is already MXU-friendly.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

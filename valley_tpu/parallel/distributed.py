@@ -11,7 +11,7 @@ auto-detected; explicit args are for GPU/CPU clusters.
 from __future__ import annotations
 
 import logging
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -9,7 +9,7 @@ the MLP hidden dim megatron-style.  Batches shard over (data, fsdp).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -90,12 +90,10 @@ def main():
     parser.add_argument("--max-new-tokens", type=int, default=512)
     parser.add_argument("--buckets", type=str, default="256,512,1024,2048")
     args = parser.parse_args()
-    args.max_new_tokens_cap = args.max_new_tokens
     logging.basicConfig(level=logging.WARNING)
 
     from valley_tpu.serve.model_worker import load_engine
 
-    args.max_new_tokens = max(args.max_new_tokens, 64)
     engine, tokenizer = load_engine(args)
     chat_loop(engine, tokenizer, args.conv_mode, args.temperature,
               args.max_new_tokens, args.video, args.num_frames)

@@ -24,8 +24,6 @@ import threading
 import time
 import uuid
 from io import BytesIO
-from typing import Optional
-
 import numpy as np
 
 from valley_tpu.constants import (DEFAULT_IM_END_TOKEN,

@@ -27,8 +27,6 @@ import json
 import logging
 import os
 import time
-from typing import Optional
-
 from valley_tpu.constants import LOGDIR
 from valley_tpu.conversation import conv_templates
 from valley_tpu.serve.httpd import JsonHttpServer, post_json

@@ -13,7 +13,7 @@ process 0 (`trainner.py:122-147` parity).
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 

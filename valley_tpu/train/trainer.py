@@ -24,9 +24,8 @@ import json
 import logging
 import os
 import time
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Callable, Iterable, NamedTuple, Optional
+from dataclasses import dataclass
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

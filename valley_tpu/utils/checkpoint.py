@@ -14,8 +14,6 @@ import re
 import shutil
 from typing import Any, Optional, Tuple
 
-import jax
-
 
 def _checkpointer():
     import orbax.checkpoint as ocp
