@@ -41,25 +41,31 @@ class GenerationConfig:
     stream_interval: int = 2
 
 
-def sample_token(logits: jnp.ndarray, key: jax.Array, temperature: float,
-                 top_p: float, do_sample: bool) -> jnp.ndarray:
+def sample_token(logits: jnp.ndarray, key: jax.Array, temperature,
+                 top_p, do_sample: bool) -> jnp.ndarray:
     """On-device sampling: greedy / temperature / nucleus.  logits: (B, V).
 
     Mirrors the worker's `temperature < 1e-4 -> argmax` rule
-    (`model_worker.py:261-266`) plus standard top-p.
+    (`model_worker.py:261-266`) plus standard top-p.  ``temperature`` /
+    ``top_p`` may be scalars or per-row (B,) arrays (dynamic batching of
+    requests with different sampling settings).
     """
     greedy = jnp.argmax(logits, axis=-1)
     if not do_sample:
         return greedy
     # temperature/top_p stay traced so one executable serves every request
     # (no recompile when the user moves the UI sliders).
-    scaled = logits / jnp.maximum(temperature, 1e-4)
+    temperature = jnp.asarray(temperature, jnp.float32)
+    top_p = jnp.asarray(top_p, jnp.float32)
+    t_col = temperature[..., None] if temperature.ndim else temperature
+    p_col = top_p[..., None] if top_p.ndim else top_p
+    scaled = logits / jnp.maximum(t_col, 1e-4)
     sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     # Keep tokens whose exclusive cumulative prob is < top_p (top_p >= 1
     # keeps everything).
-    cutoff_idx = jnp.sum(cum - probs < top_p, axis=-1) - 1
+    cutoff_idx = jnp.sum(cum - probs < p_col, axis=-1) - 1
     cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
     filtered = jnp.where(scaled < cutoff, -1e9, scaled)
     sampled = jax.random.categorical(key, filtered, axis=-1)

@@ -47,7 +47,9 @@ class ModelWorker:
                  limit_model_concurrency: int = 5,
                  stream_interval: int = 2,
                  no_register: bool = False,
-                 num_frames: int = 8):
+                 num_frames: int = 8,
+                 batch_window_ms: float = 0.0,
+                 max_batch: int = 4):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = str(uuid.uuid4())[:6]
@@ -60,6 +62,12 @@ class ModelWorker:
         self._semaphore = threading.Semaphore(limit_model_concurrency)
         self._limit = limit_model_concurrency
         self._active = 0
+        self.batcher = None
+        if batch_window_ms > 0:
+            from valley_tpu.serve.batcher import DynamicBatcher
+
+            self.batcher = DynamicBatcher(engine, max_batch=max_batch,
+                                          window_ms=batch_window_ms)
         if not no_register:
             self.register_to_controller()
             self._hb = threading.Thread(target=self._heartbeat_loop,
@@ -185,11 +193,17 @@ class ModelWorker:
             seed=int(params.get("seed", np.random.randint(1 << 31))))
 
         eos_id = getattr(self.tokenizer, "eos_token_id", 2) or 2
+        if self.batcher is not None:
+            outq = self.batcher.submit(input_ids, images, temperature,
+                                       gen.top_p, max_new_tokens, eos_id)
+            token_iter = ((t,) for t in self.batcher.drain(outq))
+        else:
+            token_iter = self.engine.generate_tokens(
+                [input_ids], images, gen, eos_ids=[eos_id])
         pred_ids: list[int] = []
         stopped = False
         emitted = 0
-        for i, tok in enumerate(self.engine.generate_tokens(
-                [input_ids], images, gen, eos_ids=[eos_id])):
+        for i, tok in enumerate(token_iter):
             pred_ids.append(int(tok[0]))
             stopped = pred_ids[-1] == eos_id
             if i % self.stream_interval == 0 or stopped or \
@@ -301,6 +315,11 @@ def main():
                         choices=["int8"],
                         help="weight-only int8 decoder quantization "
                              "(~1.6x decode throughput)")
+    parser.add_argument("--batch-window-ms", type=float, default=0.0,
+                        help="dynamic batching: group requests arriving "
+                             "within this window into one batched decode "
+                             "(0 disables)")
+    parser.add_argument("--max-batch", type=int, default=4)
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -313,7 +332,9 @@ def main():
                          args.model_name, engine, tokenizer,
                          args.limit_model_concurrency,
                          args.stream_interval, args.no_register,
-                         args.num_frames)
+                         args.num_frames,
+                         batch_window_ms=args.batch_window_ms,
+                         max_batch=args.max_batch)
     app = build_app(worker)
     app.host, app._port = args.host, args.port
     app.serve_forever()
