@@ -221,6 +221,45 @@ def test_collator_all_failed_raises():
         coll([("fail", {}), ("fail", {})])
 
 
+def test_prefetch_loader_equivalence():
+    from valley_tpu.data.dataset import DataLoader, PrefetchLoader
+
+    class DS:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            return {"input_ids": np.arange(i + 1), "labels": np.arange(i + 1)}
+
+    coll = DataCollatorForSupervisedDataset(pad_token_id=0,
+                                            pad_to_multiple=4)
+    base = DataLoader(DS(), 2, coll, seed=3)
+    pref = PrefetchLoader(DataLoader(DS(), 2, coll, seed=3), depth=2)
+    a = list(base.epoch(0))
+    b = list(pref.epoch(0))
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["input_ids"], y["input_ids"])
+
+
+def test_prefetch_loader_transform_applied():
+    from valley_tpu.data.dataset import DataLoader, PrefetchLoader
+
+    class DS:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return {"input_ids": np.ones(3), "labels": np.ones(3)}
+
+    coll = DataCollatorForSupervisedDataset(pad_token_id=0,
+                                            pad_to_multiple=1)
+    pref = PrefetchLoader(DataLoader(DS(), 2, coll, seed=0),
+                          transform=lambda b: {**b, "tagged": True})
+    out = list(pref.epoch(0))
+    assert all(b["tagged"] for b in out)
+
+
 def test_preprocess_image_shape():
     from PIL import Image
 

@@ -251,6 +251,46 @@ def make_video_supervised_data_module(tokenizer, data_args) -> Dict:
                 data_collator=collator)
 
 
+class PrefetchLoader:
+    """Background-thread prefetch wrapper: video decode + collation (and
+    optionally device transfer) for batch N+1..N+depth overlap the train
+    step on batch N — the reference gets this from torch DataLoader worker
+    processes; here one thread suffices because the heavy decode work is
+    in native code that releases the GIL."""
+
+    def __init__(self, loader, depth: int = 2, transform=None):
+        self.loader = loader
+        self.depth = depth
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.loader)
+
+    def epoch(self, epoch_idx: int = 0):
+        import queue as queue_mod
+        import threading
+
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.depth)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self.loader.epoch(epoch_idx):
+                    if self.transform is not None:
+                        batch = self.transform(batch)
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            yield item
+
+
 class DataLoader:
     """Minimal shuffling batch iterator (host-side, numpy)."""
 

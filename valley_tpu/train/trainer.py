@@ -206,6 +206,13 @@ class Trainer:
 
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0,))
+        # prefetch: decode/collate/transfer the next batches while the
+        # step for the current one runs on device
+        from valley_tpu.data.dataset import PrefetchLoader
+
+        if not isinstance(self.train_loader, PrefetchLoader):
+            self.train_loader = PrefetchLoader(
+                self.train_loader, depth=2, transform=self._device_batch)
         os.makedirs(tc.output_dir, exist_ok=True)
         self._log_path = os.path.join(tc.output_dir, "trainer.log")
         self._metrics_path = os.path.join(tc.output_dir, "metrics.jsonl")
@@ -310,7 +317,6 @@ class Trainer:
                         jax.profiler.start_trace(
                             os.path.join(tc.output_dir, "trace"))
                         profiling = True
-                    batch = self._device_batch(batch)
                     timer.start()
                     self.state, metrics = self._train_step(self.state, batch)
                     jax.block_until_ready(metrics["loss"])
