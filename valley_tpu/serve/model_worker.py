@@ -69,7 +69,14 @@ class ModelWorker:
             self.batcher = DynamicBatcher(engine, max_batch=max_batch,
                                           window_ms=batch_window_ms)
         if not no_register:
-            self.register_to_controller()
+            try:
+                self.register_to_controller()
+            except Exception as e:
+                # controller not up yet — the heartbeat loop keeps
+                # retrying registration (reference workers also
+                # re-register when forgotten, `model_worker.py:158-160`)
+                logger.warning("initial registration failed (%s); will "
+                               "retry from the heartbeat loop", e)
             self._hb = threading.Thread(target=self._heartbeat_loop,
                                         daemon=True)
             self._hb.start()
@@ -263,7 +270,21 @@ def load_engine(args):
     from valley_tpu.inference.engine import Engine
     from valley_tpu.models import valley
 
-    if args.model_path and args.model_path not in ("random:tiny",):
+    if args.model_path and args.model_path.startswith("random:") and \
+            args.model_path != "random:tiny":
+        # random-weight full-size models (perf validation without weights)
+        size = args.model_path.split(":", 1)[1]
+        from valley_tpu.tokenizer import ByteFallbackTokenizer
+
+        tokenizer = ByteFallbackTokenizer()
+        base = C.LLAMA2_13B if "13" in size else C.LLAMA2_7B
+        cfg = C.ValleyConfig(text=base, tokens=tokenizer.special_tokens())
+        shapes = jax.eval_shape(
+            lambda k: valley.init_params(cfg, k, dtype=jnp.bfloat16),
+            jax.random.key(0))
+        params = jax.tree.map(lambda s: jnp.full(s.shape, 0.008, s.dtype),
+                              shapes)
+    elif args.model_path and args.model_path != "random:tiny":
         from valley_tpu.utils import hf_bridge
 
         cfg, params, tokenizer = hf_bridge.load_valley_checkpoint(
