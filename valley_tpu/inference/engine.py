@@ -242,6 +242,8 @@ class Engine:
                         ) -> Iterator[np.ndarray]:
         """Yield one (B,) int32 token array per generated step."""
         gen = gen or GenerationConfig()
+        if not input_ids or any(len(x) == 0 for x in input_ids):
+            raise ValueError("every prompt must contain at least one token")
         lens = np.array([len(x) for x in input_ids], np.int32)
         bucket = self.pick_bucket(int(lens.max()))
         ids = np.zeros((len(input_ids), bucket), np.int32)
