@@ -1,0 +1,132 @@
+"""Iteration-level continuous batching: rows join/leave mid-decode without
+perturbing other rows (greedy determinism), row reuse, per-row limits."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from valley_tpu import config as C
+from valley_tpu.inference import Engine, GenerationConfig
+from valley_tpu.inference.continuous import ContinuousEngine, _drain
+from valley_tpu.models import valley
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = C.valley_tiny()
+    params = valley.init_params(cfg, jax.random.key(0), jnp.float32)
+    return Engine(cfg, params, buckets=(64,), max_new_tokens=32,
+                  cache_dtype=jnp.float32, use_flash=False,
+                  steps_per_call=2)
+
+
+@pytest.fixture(scope="module")
+def cont(engine):
+    return ContinuousEngine(engine, rows=3, bucket=64, extra_slots=64,
+                            steps_per_call=2)
+
+
+def _solo(engine, prompt, n):
+    gen = GenerationConfig(max_new_tokens=n, do_sample=False)
+    return [int(t[0]) for t in engine.generate_tokens([prompt], gen=gen,
+                                                      eos_ids=[-1])]
+
+
+def _collect(outq, timeout=120):
+    out = []
+    deadline = time.time() + timeout
+    gen = _drain(outq)
+    while True:
+        try:
+            out.append(next(gen))
+        except StopIteration:
+            return out
+        assert time.time() < deadline, "continuous decode timed out"
+
+
+def test_single_request_matches_engine(engine, cont):
+    prompt = list(range(10, 40))
+    expect = _solo(engine, prompt, 6)
+    outq = cont.submit(prompt, max_new_tokens=6, eos_id=-1)
+    assert _collect(outq) == expect
+
+
+def test_mid_flight_join_does_not_perturb(engine, cont):
+    """The crux of continuous batching: a request joining mid-decode must
+    not change another row's tokens."""
+    a = list(range(10, 40))
+    b = list(range(45, 60))
+    expect_a = _solo(engine, a, 20)
+    expect_b = _solo(engine, b, 6)
+
+    qa = cont.submit(a, max_new_tokens=20, eos_id=-1)
+    # let A decode a few chunks before B joins
+    got_a = [qa.get()]
+    time.sleep(0.5)
+    qb = cont.submit(b, max_new_tokens=6, eos_id=-1)
+    got_b = _collect(qb)
+    got_a += _collect(qa)
+
+    assert got_a == expect_a, (got_a, expect_a)
+    assert got_b == expect_b, (got_b, expect_b)
+
+
+def test_row_reuse_after_finish(engine, cont):
+    p1 = list(range(20, 35))
+    p2 = list(range(36, 50))
+    e1 = _solo(engine, p1, 4)
+    e2 = _solo(engine, p2, 5)
+    assert _collect(cont.submit(p1, max_new_tokens=4, eos_id=-1)) == e1
+    assert _collect(cont.submit(p2, max_new_tokens=5, eos_id=-1)) == e2
+
+
+def test_more_requests_than_rows(engine, cont):
+    prompts = [list(range(10 + i, 30 + i)) for i in range(5)]
+    expects = [_solo(engine, p, 4) for p in prompts]
+    queues = [cont.submit(p, max_new_tokens=4, eos_id=-1) for p in prompts]
+    results = [_collect(q) for q in queues]
+    assert results == expects
+
+
+def test_http_worker_continuous_mode(engine):
+    import threading
+
+    from valley_tpu.serve import model_worker as worker_mod
+    from valley_tpu.serve.httpd import stream_chunks
+    from valley_tpu.serve.model_worker import ModelWorker
+    from valley_tpu.tokenizer import ByteFallbackTokenizer
+
+    tk = ByteFallbackTokenizer()
+    worker = ModelWorker("unused", "unused", "valley-tiny", engine, tk,
+                         no_register=True, batch_window_ms=-1, max_batch=3)
+    app = worker_mod.build_app(worker)
+    port = app.start()
+    url = f"http://localhost:{port}/worker_generate_stream"
+    outputs = {}
+
+    def post(name):
+        outputs[name] = list(stream_chunks(url, {
+            "prompt": f"### Human: hello {name}\n### Assistant:",
+            "temperature": 0.0, "max_new_tokens": 5}, timeout=120))
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    app.shutdown()
+    assert len(outputs) == 3
+    for chunks in outputs.values():
+        assert chunks and chunks[-1]["error_code"] == 0
+
+
+def test_eos_ends_row_early(engine, cont):
+    prompt = list(range(10, 40))
+    probe = _solo(engine, prompt, 8)
+    eos = probe[2]
+    outq = cont.submit(prompt, max_new_tokens=8, eos_id=eos)
+    got = _collect(outq)
+    assert got == probe[:3]          # stops at (and includes) the eos

@@ -1,0 +1,236 @@
+"""Iteration-level continuous batching.
+
+A fixed pool of B cache rows decodes in lockstep; requests join a free row
+at any decode-chunk boundary (prefilled into their own row of the shared
+cache) and leave the moment they finish — unlike window batching
+(`serve/batcher.py`), a long-running generation never blocks new arrivals,
+and throughput stays at batch-B decode whenever there is load.
+
+Design notes:
+* cache *slots* are decoupled from token *positions*: every row writes its
+  step-i KV at its own ``write_slot[row]`` with rotary position
+  ``seq_len[row]`` (per-row offsets via the vmap'd cache update in
+  `llama._attn`), so rows that joined at different times coexist in one
+  (L, B, Smax, H, D) buffer;
+* inactive rows decode garbage into their last slot with everything
+  masked; their output is discarded host-side and their state is fully
+  rewritten on insert;
+* per-row temperature/top_p ride as (B,) traced arrays — one compiled
+  executable regardless of the request mix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from valley_tpu.inference.engine import Engine, GenerationConfig, sample_token
+from valley_tpu.models import llama
+
+logger = logging.getLogger(__name__)
+
+_DONE = object()
+
+
+@dataclasses.dataclass
+class _Request:
+    input_ids: list
+    images: Optional[np.ndarray]
+    temperature: float
+    top_p: float
+    max_new_tokens: int
+    eos_id: int
+    out: "queue.Queue[Any]" = dataclasses.field(
+        default_factory=lambda: queue.Queue(maxsize=4096))
+    emitted: int = 0
+
+
+class ContinuousEngine:
+    def __init__(self, engine: Engine, rows: int = 4,
+                 bucket: Optional[int] = None,
+                 extra_slots: Optional[int] = None,
+                 steps_per_call: Optional[int] = None,
+                 seed: int = 0):
+        self.engine = engine
+        self.rows = rows
+        self.bucket = bucket or engine.buckets[-1]
+        extra = extra_slots if extra_slots is not None \
+            else engine.max_new_tokens
+        self.smax = self.bucket + extra
+        self.steps = steps_per_call or engine.steps_per_call
+        self._key = jax.random.key(seed)
+
+        cfg = engine.cfg
+        self._cache = llama.init_cache(cfg.text, rows, self.smax,
+                                       engine.cache_dtype)
+        self._valid = jnp.zeros((rows, self.smax), bool)
+        self._seq = jnp.zeros((rows,), jnp.int32)
+        self._slot = jnp.full((rows,), self.smax - 1, jnp.int32)
+        self._token = jnp.zeros((rows,), jnp.int32)
+        self._active: List[Optional[_Request]] = [None] * rows
+        self._temps = np.zeros((rows,), np.float32)
+        self._top_ps = np.ones((rows,), np.float32)
+
+        self._decode = jax.jit(self._decode_impl,
+                               static_argnames=("n_steps",),
+                               donate_argnames=("cache", "valid"))
+        self._insert = jax.jit(self._insert_impl,
+                               donate_argnames=("cache", "valid"))
+
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._wake = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- jitted state transforms ------------------------------------------
+
+    def _decode_impl(self, params, cache, valid, token, slot, seq, key,
+                     temps, top_ps, *, n_steps: int):
+        cfg = self.engine.cfg
+        b = token.shape[0]
+
+        def mark(vrow, i):
+            return jax.lax.dynamic_update_slice(
+                vrow, jnp.ones((1,), vrow.dtype), (i,))
+
+        def body(carry, _):
+            token, cache, valid, seq, slot, key = carry
+            key, sub = jax.random.split(key)
+            embeds = llama.embed(params["llama"], token[:, None])
+            valid = jax.vmap(mark)(valid, slot)
+            hidden, cache = llama.forward_hidden(
+                params["llama"], cfg.text, embeds, positions=seq[:, None],
+                cache=cache, cache_index=slot, kv_valid=valid,
+                use_flash=False)
+            logits = llama.logits_from_hidden(params["llama"], hidden)[:, 0]
+            tok = sample_token(logits, sub, temps, top_ps, do_sample=True)
+            return (tok, cache, valid, seq + 1, slot + 1, key), tok
+
+        (token, cache, valid, seq, slot, _), toks = jax.lax.scan(
+            body, (token, cache, valid, seq, slot, key), None,
+            length=n_steps)
+        return toks, cache, valid, token, slot, seq
+
+    def _insert_impl(self, cache, valid, token, slot, seq, row_cache,
+                     row_valid, row_tok, row_len, b):
+        cache = llama.KVCache(
+            jax.lax.dynamic_update_slice(cache.k, row_cache.k,
+                                         (0, b, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(cache.v, row_cache.v,
+                                         (0, b, 0, 0, 0)))
+        valid = jax.lax.dynamic_update_slice(valid, row_valid, (b, 0))
+        token = jax.lax.dynamic_update_slice(token, row_tok[None], (b,))
+        slot = jax.lax.dynamic_update_slice(
+            slot, jnp.asarray([self.bucket], jnp.int32), (b,))
+        seq = jax.lax.dynamic_update_slice(seq, row_len[None], (b,))
+        return cache, valid, token, slot, seq
+
+    # -- public API --------------------------------------------------------
+
+    def submit(self, input_ids, images=None, temperature: float = 0.0,
+               top_p: float = 1.0, max_new_tokens: int = 256,
+               eos_id: int = 2) -> "queue.Queue[Any]":
+        req = _Request(list(input_ids), images, float(temperature),
+                       float(top_p), int(max_new_tokens), int(eos_id))
+        self._queue.put(req)
+        self._wake.set()
+        return req.out
+
+    drain = staticmethod(lambda outq: _drain(outq))
+
+    # -- scheduler loop ------------------------------------------------------
+
+    def _admit(self):
+        eng = self.engine
+        for b in range(self.rows):
+            if self._active[b] is not None:
+                continue
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            self._key, sub = jax.random.split(self._key)
+            lens = np.asarray([len(req.input_ids)], np.int32)
+            ids = np.zeros((1, self.bucket), np.int32)
+            ids[0, :lens[0]] = req.input_ids
+            has_images = req.images is not None
+            if has_images:
+                images = jnp.asarray(np.asarray(
+                    req.images, np.float32).astype(jnp.bfloat16))
+            else:
+                v = eng.cfg.vision
+                images = jnp.zeros((1, 1, 3, v.image_size, v.image_size),
+                                   jnp.bfloat16)
+            tok, _lg, row_cache, row_valid = eng._prefill(
+                eng.params, jnp.asarray(ids), images, jnp.asarray(lens),
+                sub, req.temperature, req.top_p, bucket=self.bucket,
+                cache_len=self.smax, do_sample=req.temperature >= 1e-4,
+                has_images=has_images)
+            (self._cache, self._valid, self._token, self._slot,
+             self._seq) = self._insert(
+                self._cache, self._valid, self._token, self._slot,
+                self._seq, row_cache, row_valid.astype(bool), tok[0],
+                jnp.asarray(lens[0]), jnp.int32(b))
+            self._active[b] = req
+            self._temps[b] = req.temperature
+            self._top_ps[b] = req.top_p
+            # the prefill-sampled token is the first output token
+            req.out.put(int(np.asarray(tok)[0]))
+            req.emitted = 1
+            self._finish_if_done(b, int(np.asarray(tok)[0]))
+
+    def _finish_if_done(self, b: int, tok: int):
+        req = self._active[b]
+        if req is None:
+            return
+        if tok == req.eos_id or req.emitted >= req.max_new_tokens:
+            req.out.put(_DONE)
+            self._active[b] = None
+            self._temps[b] = 0.0
+
+    def _loop(self):
+        while True:
+            if all(r is None for r in self._active) and \
+                    self._queue.empty():
+                self._wake.wait(timeout=1.0)
+                self._wake.clear()
+                continue
+            self._admit()
+            if all(r is None for r in self._active):
+                continue
+            self._key, sub = jax.random.split(self._key)
+            toks, self._cache, self._valid, self._token, self._slot, \
+                self._seq = self._decode(
+                    self.engine.params, self._cache, self._valid,
+                    self._token, self._slot, self._seq, sub,
+                    jnp.asarray(self._temps), jnp.asarray(self._top_ps),
+                    n_steps=self.steps)
+            toks_np = np.asarray(toks)           # (steps, rows)
+            for step in range(toks_np.shape[0]):
+                for b in range(self.rows):
+                    req = self._active[b]
+                    if req is None:
+                        continue
+                    # ignore tokens decoded after this row finished within
+                    # the chunk (they stay masked-off for the next request)
+                    t = int(toks_np[step, b])
+                    req.out.put(t)
+                    req.emitted += 1
+                    self._finish_if_done(b, t)
+
+
+def _drain(outq):
+    while True:
+        item = outq.get()
+        if item is _DONE:
+            return
+        if isinstance(item, Exception):
+            raise item
+        yield item

@@ -132,10 +132,19 @@ def _attn(lp, x, cfg: TextConfig, cos, sin, *, attn_mask=None,
         new_kv = (k, v)
     else:
         ck, cv = cache_kv
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                          (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                          (0, cache_index, 0, 0))
+        if getattr(cache_index, "ndim", 0) == 1:
+            # per-row write offsets (continuous batching: rows joined the
+            # batch at different times, so their next free slot differs)
+            def row_write(c, new, i):
+                return jax.lax.dynamic_update_slice(c, new, (i, 0, 0))
+
+            ck = jax.vmap(row_write)(ck, k.astype(ck.dtype), cache_index)
+            cv = jax.vmap(row_write)(cv, v.astype(cv.dtype), cache_index)
+        else:
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                              (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                              (0, cache_index, 0, 0))
         if s == 1:
             out = decode_attention(q, ck, cv, kv_valid)
         elif cross_valid is not None:

@@ -63,11 +63,17 @@ class ModelWorker:
         self._limit = limit_model_concurrency
         self._active = 0
         self.batcher = None
+        self.continuous = None
         if batch_window_ms > 0:
             from valley_tpu.serve.batcher import DynamicBatcher
 
             self.batcher = DynamicBatcher(engine, max_batch=max_batch,
                                           window_ms=batch_window_ms)
+        elif batch_window_ms < 0:
+            # negative window => iteration-level continuous batching
+            from valley_tpu.inference.continuous import ContinuousEngine
+
+            self.continuous = ContinuousEngine(engine, rows=max_batch)
         if not no_register:
             try:
                 self.register_to_controller()
@@ -200,7 +206,14 @@ class ModelWorker:
             seed=int(params.get("seed", np.random.randint(1 << 31))))
 
         eos_id = getattr(self.tokenizer, "eos_token_id", 2) or 2
-        if self.batcher is not None:
+        if self.continuous is not None:
+            outq = self.continuous.submit(
+                input_ids, images, temperature, gen.top_p, max_new_tokens,
+                eos_id)
+            from valley_tpu.inference.continuous import _drain
+
+            token_iter = ((t,) for t in _drain(outq))
+        elif self.batcher is not None:
             outq = self.batcher.submit(input_ids, images, temperature,
                                        gen.top_p, max_new_tokens, eos_id)
             token_iter = ((t,) for t in self.batcher.drain(outq))
@@ -337,9 +350,10 @@ def main():
                         help="weight-only int8 decoder quantization "
                              "(~1.6x decode throughput)")
     parser.add_argument("--batch-window-ms", type=float, default=0.0,
-                        help="dynamic batching: group requests arriving "
-                             "within this window into one batched decode "
-                             "(0 disables)")
+                        help="dynamic batching: >0 groups requests "
+                             "arriving within this window; <0 enables "
+                             "iteration-level continuous batching over "
+                             "--max-batch rows; 0 disables")
     parser.add_argument("--max-batch", type=int, default=4)
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
