@@ -49,7 +49,8 @@ class ModelWorker:
                  no_register: bool = False,
                  num_frames: int = 8,
                  batch_window_ms: float = 0.0,
-                 max_batch: int = 4):
+                 max_batch: int = 4,
+                 max_sessions: int = 0):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = str(uuid.uuid4())[:6]
@@ -74,6 +75,12 @@ class ModelWorker:
             from valley_tpu.inference.continuous import ContinuousEngine
 
             self.continuous = ContinuousEngine(engine, rows=max_batch)
+        # session-id mode: multi-turn KV reuse behind the UNCHANGED wire
+        # protocol (client still sends the full conversation; the worker
+        # prefix-matches tokens and extends the session with the delta)
+        self.max_sessions = max_sessions
+        self._sessions: "dict[str, tuple]" = {}
+        self._session_lock = threading.Lock()
         if not no_register:
             try:
                 self.register_to_controller()
@@ -206,6 +213,12 @@ class ModelWorker:
             seed=int(params.get("seed", np.random.randint(1 << 31))))
 
         eos_id = getattr(self.tokenizer, "eos_token_id", 2) or 2
+        session_id = params.get("session_id")
+        if session_id and self.max_sessions > 0:
+            yield from self._session_stream(
+                session_id, input_ids, images, gen, stop_str, ori_prompt,
+                eos_id)
+            return
         if self.continuous is not None:
             outq = self.continuous.submit(
                 input_ids, images, temperature, gen.top_p, max_new_tokens,
@@ -243,6 +256,60 @@ class ModelWorker:
         if not emitted:
             yield json.dumps({"text": ori_prompt,
                               "error_code": 0}).encode() + b"\0"
+
+    def _session_stream(self, session_id: str, input_ids, images, gen,
+                        stop_str, ori_prompt: str, eos_id: int):
+        """Multi-turn request with KV reuse.  The client sends the full
+        conversation (reference protocol); if its tokens extend the
+        session's known prefix, only the delta is prefilled."""
+        from valley_tpu.inference.engine import ChatSession
+
+        with self._session_lock:
+            entry = self._sessions.pop(session_id, None)
+            if entry is None and len(self._sessions) >= self.max_sessions:
+                # LRU eviction: drop the stalest session
+                oldest = next(iter(self._sessions))
+                self._sessions.pop(oldest)
+                logger.info("evicted session %s", oldest)
+
+        def new_session():
+            return ChatSession(self.engine, gen,
+                               extra_slots=2 * gen.max_new_tokens + 256)
+
+        session, known = entry if entry else (None, [])
+        delta = None
+        if session is not None and session.started and \
+                list(input_ids[:len(known)]) == known and \
+                len(input_ids) > len(known):
+            delta = list(input_ids[len(known):])
+            session.gen = gen  # per-request sampling settings
+        if delta is None:
+            session = new_session()
+            delta = list(input_ids)
+            first_images = images
+        else:
+            first_images = None
+        try:
+            reply = session.chat(delta, images=first_images,
+                                 tokenizer=self.tokenizer,
+                                 eos_ids=[eos_id])
+        except RuntimeError as e:  # cache exhausted -> fresh session
+            logger.info("session %s reset: %s", session_id, e)
+            session = new_session()
+            reply = session.chat(list(input_ids), images=images,
+                                 tokenizer=self.tokenizer,
+                                 eos_ids=[eos_id])
+            delta = list(input_ids)
+        cur_out = self.tokenizer.decode(reply, skip_special_tokens=True)
+        if stop_str:
+            pos = cur_out.rfind(stop_str)
+            if pos != -1:
+                cur_out = cur_out[:pos]
+        with self._session_lock:
+            self._sessions[session_id] = (session,
+                                          list(input_ids) + list(reply))
+        yield json.dumps({"text": ori_prompt + cur_out,
+                          "error_code": 0}).encode() + b"\0"
 
     def generate_stream_gate(self, params: dict):
         self._active += 1
@@ -355,6 +422,9 @@ def main():
                              "iteration-level continuous batching over "
                              "--max-batch rows; 0 disables")
     parser.add_argument("--max-batch", type=int, default=4)
+    parser.add_argument("--max-sessions", type=int, default=0,
+                        help="enable session-id multi-turn KV reuse, "
+                             "keeping up to N sessions (LRU)")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -369,7 +439,8 @@ def main():
                          args.stream_interval, args.no_register,
                          args.num_frames,
                          batch_window_ms=args.batch_window_ms,
-                         max_batch=args.max_batch)
+                         max_batch=args.max_batch,
+                         max_sessions=args.max_sessions)
     app = build_app(worker)
     app.host, app._port = args.host, args.port
     app.serve_forever()
