@@ -40,41 +40,26 @@ def test_batched_greedy_matches_individual(engine):
     expect1 = _single(engine, p1, 6)
     expect2 = _single(engine, p2, 6)
 
-    results = {}
-
-    def run(name, prompt):
-        outq = batcher.submit(prompt, None, 0.0, 1.0, 6, eos_id=-1)
-        results[name] = list(DynamicBatcher.drain(outq))
-
-    threads = [threading.Thread(target=run, args=("a", p1)),
-               threading.Thread(target=run, args=("b", p2))]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join(timeout=120)
-    assert results["a"] == expect1
-    assert results["b"] == expect2
+    # submit is non-blocking: both requests are enqueued before the
+    # batcher's first window closes -> deterministic grouping
+    qa = batcher.submit(p1, None, 0.0, 1.0, 6, eos_id=-1)
+    qb = batcher.submit(p2, None, 0.0, 1.0, 6, eos_id=-1)
+    got_a = list(DynamicBatcher.drain(qa))
+    got_b = list(DynamicBatcher.drain(qb))
+    assert got_a == expect1
+    assert got_b == expect2
     assert batcher.batches_run == 1          # grouped into ONE decode
     assert batcher.requests_served == 2
 
 
 def test_batcher_respects_per_request_max_new(engine):
     batcher = DynamicBatcher(engine, max_batch=4, window_ms=150)
-    results = {}
-
-    def run(name, n):
-        outq = batcher.submit(list(range(10, 30)), None, 0.0, 1.0, n,
-                              eos_id=-1)
-        results[name] = list(DynamicBatcher.drain(outq))
-
-    threads = [threading.Thread(target=run, args=("short", 2)),
-               threading.Thread(target=run, args=("long", 5))]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join(timeout=120)
-    assert len(results["short"]) == 2
-    assert len(results["long"]) == 5
+    q_short = batcher.submit(list(range(10, 30)), None, 0.0, 1.0, 2,
+                             eos_id=-1)
+    q_long = batcher.submit(list(range(10, 30)), None, 0.0, 1.0, 5,
+                            eos_id=-1)
+    assert len(list(DynamicBatcher.drain(q_short))) == 2
+    assert len(list(DynamicBatcher.drain(q_long))) == 5
 
 
 def test_batcher_single_request_passthrough(engine):
