@@ -17,6 +17,7 @@ TPU-native re-design of the decoder the reference inherits from HF
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -93,10 +94,26 @@ def _proj(lp, name: str, x: jnp.ndarray) -> jnp.ndarray:
     (serving quantization, `ops/quant.py`) dequantize into the matmul."""
     w = lp[name]
     if w.dtype == jnp.int8:
-        out = jnp.einsum("...i,io->...o", x, w.astype(x.dtype),
-                         preferred_element_type=jnp.float32)
-        out = (out * lp[name + "_scale"].astype(jnp.float32)
-               ).astype(x.dtype)
+        scale = lp[name + "_scale"]
+        lead = x.shape[:-1]
+        n_rows = 1
+        for d in lead:
+            n_rows *= d
+        # NOTE: measured on v5e, XLA's fused int8 dequant-dot beats the
+        # Pallas tile-streaming matvec (78 vs 58 tok/s end-to-end), so the
+        # kernel stays opt-in for experimentation.
+        if (os.environ.get("VALLEY_INT8_KERNEL", "0") == "1"
+                and jax.default_backend() == "tpu" and n_rows <= 8
+                and w.shape[-1] % 128 == 0):
+            from valley_tpu.ops.quant import int8_matvec
+
+            y = int8_matvec(x.reshape(n_rows, x.shape[-1]), w,
+                            scale.reshape(1, -1))
+            out = y.reshape(lead + (w.shape[-1],)).astype(x.dtype)
+        else:
+            out = jnp.einsum("...i,io->...o", x, w.astype(x.dtype),
+                             preferred_element_type=jnp.float32)
+            out = (out * scale.astype(jnp.float32)).astype(x.dtype)
     else:
         out = x @ w
     a = lp.get(name + "_lora_a")

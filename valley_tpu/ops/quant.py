@@ -71,6 +71,46 @@ def quantize_llama_params(params, targets: Sequence[str] = QUANT_TARGETS,
     return params
 
 
+def _int8_matvec_kernel(x_ref, w_ref, s_ref, o_ref):
+    # x (B, H) bf16; w (H, BF) int8; s (1, BF); o (B, BF)
+    w = w_ref[...].astype(x_ref.dtype)
+    y = jax.lax.dot_general(x_ref[...], w, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[...] = y * s_ref[...].astype(jnp.float32)
+
+
+def int8_matvec(x: jnp.ndarray, w: jnp.ndarray,
+                scale: jnp.ndarray, block_f: int = 512) -> jnp.ndarray:
+    """Pallas x @ dequant(w) for small-batch decode: streams int8 weight
+    tiles HBM->VMEM (Mosaic double-buffers grid steps) and dequantizes in
+    VMEM.  x: (B, H) bf16; w: (H, F) int8; scale: (1, F).  Returns fp32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h = x.shape
+    f = w.shape[1]
+    block_f = min(block_f, f)
+    return pl.pallas_call(
+        _int8_matvec_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, f), jnp.float32),
+        grid=(pl.cdiv(f, block_f),),
+        in_specs=[
+            pl.BlockSpec((b, h), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, block_f), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_f), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, block_f), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * f,
+            bytes_accessed=h * f + b * h * 2 + b * f * 4,
+            transcendentals=0),
+    )(x, w, scale)
+
+
 def dequant_matmul(x: jnp.ndarray, w: jnp.ndarray,
                    scale: jnp.ndarray) -> jnp.ndarray:
     """x @ dequant(w): int8 weight path, bf16 accumulate-scale."""
