@@ -141,7 +141,9 @@ class HybridDataset:
             source_dir = entry.get("source", "webvid")
             folder = cfg.get("video_folder") or "."
             video = load_video(f"{folder}/{source_dir}/{video_file}",
+                               frame_mode=cfg.get("frame_mode", "fixed"),
                                fixed_frame_number=cfg.get("num_frames", 8),
+                               fps_number=cfg.get("fps_number", 0.5),
                                crop_size=cfg.get("crop_size", 224),
                                scale_size=cfg.get("scale_size", 256))
             image = np.transpose(video, (1, 0, 2, 3))  # (T, 3, H, W)
@@ -238,6 +240,8 @@ def make_video_supervised_data_module(tokenizer, data_args) -> Dict:
             image_aspect_ratio=g("image_aspect_ratio", "square"),
             use_im_start_end=g("mm_use_im_start_end", False),
             num_frames=g("num_frames", 8),
+            frame_mode=g("frame_mode", "fixed"),
+            fps_number=g("fps_number", 0.5),
             crop_size=g("crop_size", 224),
             scale_size=g("scale_size", 256),
             patch_size=g("patch_size", 14),

@@ -170,7 +170,24 @@ def train(conf_path: str) -> int:
     loader = DataLoader(module["train_dataset"], global_batch,
                         module["data_collator"], seed=tc.seed)
 
-    trainer = Trainer(cfg, tc, params, loader)
+    eval_fn = None
+    if tc.evaluation_strategy == "steps":
+        def eval_fn(current_params, step):
+            from valley_tpu.inference.engine import Engine, GenerationConfig
+            from valley_tpu.train.eval_loop import generate_eval
+
+            p = jax.device_get(current_params)
+            if tc.lora:
+                p = lora_lib.merge_lora(p)
+            max_len = getattr(tokenizer, "model_max_length", 2048)
+            eng = Engine(cfg, p, buckets=(min(1024, max_len), max_len),
+                         max_new_tokens=256)
+            return generate_eval(
+                eng, tokenizer, module["train_dataset"],
+                eval_num=tc.eval_num, conv_mode=data_args.conv_mode,
+                gen=GenerationConfig(max_new_tokens=128, do_sample=False))
+
+    trainer = Trainer(cfg, tc, params, loader, eval_fn=eval_fn)
     print_trainable_params(trainer.state.params, trainer.labels)
     step = trainer.train(resume=True)
 

@@ -87,6 +87,10 @@ class TrainConfig:
     prediction_file_name: Optional[str] = None
     generation_max_length: int = 1536
     eval_num: int = 400
+    # mid-training eval: "no" | "steps" + eval_steps (reference
+    # evaluation_strategy/eval_steps keys); runs the Trainer's eval_fn
+    evaluation_strategy: str = "no"
+    eval_steps: int = 3000
 
 
 class TrainState(NamedTuple):
@@ -181,7 +185,11 @@ class Trainer:
     def __init__(self, cfg: ValleyConfig, tc: TrainConfig, params,
                  train_loader, total_steps: Optional[int] = None,
                  mesh=None,
-                 loss_fn: Optional[Callable] = None):
+                 loss_fn: Optional[Callable] = None,
+                 eval_fn: Optional[Callable] = None):
+        # eval_fn(params, step) -> metrics dict; invoked every eval_steps
+        # when evaluation_strategy == "steps"
+        self.eval_fn = eval_fn
         self.cfg = cfg
         self.tc = tc
         self.mesh = mesh or create_mesh(data=tc.mesh_data, fsdp=tc.mesh_fsdp,
@@ -339,6 +347,15 @@ class Trainer:
                         })
                     if tc.save_steps and step % tc.save_steps == 0:
                         self.save(step)
+                    if (self.eval_fn is not None
+                            and tc.evaluation_strategy == "steps"
+                            and tc.eval_steps
+                            and step % tc.eval_steps == 0):
+                        metrics = self.eval_fn(self.state.params, step)
+                        if metrics:
+                            self.log({"step": step,
+                                      **{f"eval_{k}": v
+                                         for k, v in metrics.items()}})
             if profiling:
                 jax.profiler.stop_trace()
             self.save(step)
