@@ -100,6 +100,42 @@ def resolve_pooling(model_args: ModelArguments) -> str:
     return model_args.patch_pooling_method or "mean"
 
 
+def load_framework_checkpoint(path: str, model_max_length: int = 2048):
+    """Load a training output dir produced by this framework (the sidecar
+    valley_config.json + orbax 'final' tree) — the stage-1 -> stage-2
+    handoff."""
+    import json
+
+    from valley_tpu.utils import checkpoint as ckpt_lib
+
+    with open(os.path.join(path, "valley_config.json")) as f:
+        cfg = C.ValleyConfig.from_json(f.read())
+    meta = {}
+    meta_path = os.path.join(path, "valley_meta.json")
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    if meta.get("lora"):
+        raise ValueError(
+            f"{path} is a LoRA output (adapter-only). Load the base "
+            f"checkpoint and pass lora_path={path}/final instead.")
+    params = ckpt_lib.restore_pytree(
+        os.path.join(path, meta.get("final", "final")))
+
+    tok_path = meta.get("tokenizer_path", "")
+    if tok_path and os.path.isdir(tok_path):
+        from valley_tpu.tokenizer import load_hf_tokenizer
+
+        tokenizer, tokens = load_hf_tokenizer(tok_path, model_max_length)
+        cfg = cfg.replace(tokens=tokens)
+    else:
+        from valley_tpu.tokenizer import ByteFallbackTokenizer
+
+        tokenizer = ByteFallbackTokenizer(model_max_length=model_max_length)
+        cfg = cfg.replace(tokens=tokenizer.special_tokens())
+    return cfg, params, tokenizer
+
+
 def build_model_and_tokenizer(model_args: ModelArguments, extra: dict,
                               dtype=jnp.bfloat16):
     """Load (or init) the model + tokenizer.
@@ -113,6 +149,9 @@ def build_model_and_tokenizer(model_args: ModelArguments, extra: dict,
     max_len = int(extra.get("model_max_length", 2048))
 
     if path and os.path.isdir(path):
+        if os.path.isfile(os.path.join(path, "valley_config.json")):
+            # a previous stage's output dir from THIS framework
+            return load_framework_checkpoint(path, max_len)
         from valley_tpu.utils import hf_bridge
 
         cfg, params, tokenizer = hf_bridge.load_valley_checkpoint(
@@ -201,6 +240,16 @@ def train(conf_path: str) -> int:
                              lora_lib.split_lora(trainer.state.params))
     else:
         ckpt_lib.save_pytree(final_dir, trainer.state.params)
+    # sidecar metadata so this dir is loadable as the next stage's
+    # model_name_or_path (stage-1 -> stage-2 flow within this framework)
+    import json as _json
+
+    with open(os.path.join(tc.output_dir, "valley_config.json"), "w") as f:
+        f.write(cfg.to_json())
+    with open(os.path.join(tc.output_dir, "valley_meta.json"), "w") as f:
+        _json.dump({"lora": bool(tc.lora),
+                    "tokenizer_path": model_args.model_name_or_path,
+                    "final": "final"}, f)
     logger.info("training done at step %d; saved to %s", step, final_dir)
 
     # post-training generate-eval (stage-2 predict_with_generate flow;
