@@ -260,6 +260,143 @@ def read_state_dict(path: str) -> Dict[str, Any]:
     return sd
 
 
+def export_clip(params_vision, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Our CLIP pytree -> HF `vision_model.*` state dict (fp32 numpy)."""
+    out = {}
+    p = lambda k: prefix + "vision_model." + k  # noqa: E731
+
+    def f32(x):
+        return np.asarray(jnp.asarray(x, jnp.float32))
+
+    lay = params_vision["layers"]
+    L = lay["wq"].shape[0]
+    h = params_vision["class_embedding"].shape[0]
+    patch = f32(params_vision["patch_embedding"])   # (3*ps*ps, H)
+    ps = int(round((patch.shape[0] // 3) ** 0.5))
+    out[p("embeddings.class_embedding")] = f32(
+        params_vision["class_embedding"])
+    out[p("embeddings.patch_embedding.weight")] = \
+        patch.T.reshape(h, 3, ps, ps)
+    out[p("embeddings.position_embedding.weight")] = f32(
+        params_vision["position_embedding"])
+    out[p("pre_layrnorm.weight")] = f32(params_vision["pre_ln_scale"])
+    out[p("pre_layrnorm.bias")] = f32(params_vision["pre_ln_bias"])
+    name_map = {
+        "ln1_scale": ("layer_norm1.weight", False),
+        "ln1_bias": ("layer_norm1.bias", False),
+        "wq": ("self_attn.q_proj.weight", True),
+        "bq": ("self_attn.q_proj.bias", False),
+        "wk": ("self_attn.k_proj.weight", True),
+        "bk": ("self_attn.k_proj.bias", False),
+        "wv": ("self_attn.v_proj.weight", True),
+        "bv": ("self_attn.v_proj.bias", False),
+        "wo": ("self_attn.out_proj.weight", True),
+        "bo": ("self_attn.out_proj.bias", False),
+        "ln2_scale": ("layer_norm2.weight", False),
+        "ln2_bias": ("layer_norm2.bias", False),
+        "fc1": ("mlp.fc1.weight", True),
+        "fc1_bias": ("mlp.fc1.bias", False),
+        "fc2": ("mlp.fc2.weight", True),
+        "fc2_bias": ("mlp.fc2.bias", False),
+    }
+    for ours, (theirs, transpose) in name_map.items():
+        arr = f32(lay[ours])
+        for i in range(L):
+            w = arr[i].T if transpose else arr[i]
+            out[p(f"encoder.layers.{i}.{theirs}")] = w
+    # HF checkpoints carry a post_layernorm even though the -2 tap never
+    # uses it; emit identity so the reference class loads cleanly
+    out[p("post_layernorm.weight")] = np.ones((h,), np.float32)
+    out[p("post_layernorm.bias")] = np.zeros((h,), np.float32)
+    return out
+
+
+def export_valley_checkpoint(cfg, params, out_dir: str,
+                             tokenizer_src: Optional[str] = None) -> str:
+    """Write an HF-layout checkpoint dir loadable by the reference's
+    `ValleyLlamaForCausalLM.from_pretrained` (and by our own loader):
+    model.safetensors with `model.* / lm_head / model.mm_projector.* /
+    model.vision_tower.vision_model.* / model.pooling_layer.* /
+    model.transformer_delta_encoder.*` keys plus a `config.json` carrying
+    the Valley flags (`valley_model.py:18-19,76-80`)."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    sd = export_llama(params["llama"])
+    if "projector" in params and params["projector"]:
+        sd["model.mm_projector.weight"] = np.asarray(
+            jnp.asarray(params["projector"]["w"], jnp.float32)).T
+        sd["model.mm_projector.bias"] = np.asarray(
+            jnp.asarray(params["projector"]["b"], jnp.float32))
+    if params.get("vision"):
+        sd.update(export_clip(params["vision"],
+                              prefix="model.vision_tower."))
+    tp = params.get("temporal") or {}
+    if "pooling_w" in tp:
+        sd["model.pooling_layer.weight"] = np.asarray(
+            jnp.asarray(tp["pooling_w"], jnp.float32)).T
+        sd["model.pooling_layer.bias"] = np.asarray(
+            jnp.asarray(tp["pooling_b"], jnp.float32))
+    if "wq" in tp:  # temporal transformer
+        pfx = "model.transformer_delta_encoder.layers.0."
+        f32 = lambda x: np.asarray(jnp.asarray(x, jnp.float32))  # noqa
+        sd[pfx + "self_attn.in_proj_weight"] = np.concatenate(
+            [f32(tp["wq"]).T, f32(tp["wk"]).T, f32(tp["wv"]).T], axis=0)
+        sd[pfx + "self_attn.in_proj_bias"] = np.concatenate(
+            [f32(tp["bq"]), f32(tp["bk"]), f32(tp["bv"])])
+        sd[pfx + "self_attn.out_proj.weight"] = f32(tp["wo"]).T
+        sd[pfx + "self_attn.out_proj.bias"] = f32(tp["bo"])
+        sd[pfx + "norm1.weight"] = f32(tp["ln1_scale"])
+        sd[pfx + "norm1.bias"] = f32(tp["ln1_bias"])
+        sd[pfx + "norm2.weight"] = f32(tp["ln2_scale"])
+        sd[pfx + "norm2.bias"] = f32(tp["ln2_bias"])
+        sd[pfx + "linear1.weight"] = f32(tp["ffn1"]).T
+        sd[pfx + "linear1.bias"] = f32(tp["ffn1_bias"])
+        sd[pfx + "linear2.weight"] = f32(tp["ffn2"]).T
+        sd[pfx + "linear2.bias"] = f32(tp["ffn2_bias"])
+        sd["model.position_matrix"] = f32(tp["position_matrix"])
+
+    from safetensors.numpy import save_file
+
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+              os.path.join(out_dir, "model.safetensors"))
+
+    t = cfg.text
+    hf_cfg = {
+        "architectures": ["ValleyLlamaForCausalLM"],
+        "model_type": "valley",
+        "vocab_size": t.vocab_size,
+        "hidden_size": t.hidden_size,
+        "intermediate_size": t.intermediate_size,
+        "num_hidden_layers": t.num_hidden_layers,
+        "num_attention_heads": t.num_attention_heads,
+        "num_key_value_heads": t.kv_heads,
+        "max_position_embeddings": t.max_position_embeddings,
+        "rms_norm_eps": t.rms_norm_eps,
+        "rope_theta": t.rope_theta,
+        "use_mm_proj": True,
+        "mm_hidden_size": cfg.vision.hidden_size,
+        "mm_vision_select_layer": cfg.vision.select_layer,
+        "mm_use_im_start_end": True,
+        "use_patch_importance_pooling":
+            cfg.patch_pooling_method == "temporal_importance",
+        "use_delta_transformer":
+            cfg.patch_pooling_method == "temporal_transformer",
+        "torch_dtype": "float32",
+    }
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=2)
+    if tokenizer_src and os.path.isdir(tokenizer_src):
+        import shutil
+
+        for fname in ("tokenizer.model", "tokenizer.json",
+                      "tokenizer_config.json", "special_tokens_map.json"):
+            src = os.path.join(tokenizer_src, fname)
+            if os.path.isfile(src):
+                shutil.copy(src, os.path.join(out_dir, fname))
+    return out_dir
+
+
 def resize_token_embeddings(llama_params, new_vocab: int,
                             num_new_init: Optional[int] = None):
     """Grow (or shrink) the embedding table and lm_head to ``new_vocab``
