@@ -250,6 +250,15 @@ def train(conf_path: str) -> int:
         _json.dump({"lora": bool(tc.lora),
                     "tokenizer_path": model_args.model_name_or_path,
                     "final": "final"}, f)
+    if tc.export_hf and not tc.lora:
+        from valley_tpu.utils.hf_bridge import export_valley_checkpoint
+
+        hf_dir = os.path.join(tc.output_dir, "hf")
+        tok_src = model_args.model_name_or_path \
+            if os.path.isdir(model_args.model_name_or_path) else None
+        export_valley_checkpoint(cfg, jax.device_get(trainer.state.params),
+                                 hf_dir, tokenizer_src=tok_src)
+        logger.info("HF export written to %s", hf_dir)
     logger.info("training done at step %d; saved to %s", step, final_dir)
 
     # post-training generate-eval (stage-2 predict_with_generate flow;

@@ -91,6 +91,8 @@ class TrainConfig:
     # evaluation_strategy/eval_steps keys); runs the Trainer's eval_fn
     evaluation_strategy: str = "no"
     eval_steps: int = 3000
+    # also write a reference-loadable HF checkpoint at the end
+    export_hf: bool = False
 
 
 class TrainState(NamedTuple):
