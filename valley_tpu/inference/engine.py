@@ -273,6 +273,8 @@ class Engine:
         slot = bucket  # prompt chunk occupied slots [0, bucket)
 
         max_new = min(gen.max_new_tokens, self.max_new_tokens)
+        if max_new <= 0:
+            return
         alive = np.ones(len(input_ids), bool)
         eos_arr = np.asarray(eos_ids)
         tok_np = np.asarray(tok)
