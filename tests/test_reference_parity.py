@@ -172,6 +172,56 @@ def test_text_only_forward_parity(reference_model, jax_equivalent):
     assert diff < 1e-3, diff
 
 
+def test_temporal_transformer_end_to_end_parity(reference_model,
+                                                jax_equivalent):
+    """Full v3 (transformer-delta) multimodal forward vs the actual
+    reference: wires its transformer_delta_encoder + sinusoidal position
+    matrix and compares logits."""
+    from valley_tpu.models.temporal import sinusoidal_position_matrix
+    from valley_tpu.utils import hf_bridge
+
+    inner = reference_model.get_model()
+    torch.manual_seed(11)
+    layer = torch.nn.TransformerEncoderLayer(d_model=64, nhead=8,
+                                             batch_first=True)
+    inner.transformer_delta_encoder = torch.nn.TransformerEncoder(
+        layer, num_layers=1).eval()
+    pos = np.asarray(sinusoidal_position_matrix(2048, 64))
+    inner.position_matrix = torch.nn.Parameter(
+        torch.from_numpy(pos.copy()), requires_grad=False)
+    old_method = inner.patch_pooling_method
+    inner.patch_pooling_method = "temporal_transformer"
+    try:
+        cfg0, params = jax_equivalent
+        cfg = cfg0.replace(patch_pooling_method="temporal_transformer",
+                           temporal_transformer_heads=8)
+        sd = {"model.transformer_delta_encoder.layers.0." + k: v
+              for k, v in inner.transformer_delta_encoder.layers[0]
+              .state_dict().items()}
+        params = dict(params)
+        params["temporal"] = hf_bridge.convert_temporal(sd, cfg,
+                                                        jnp.float32)
+        params["temporal"]["position_matrix"] = jnp.asarray(pos)
+
+        frames = 3
+        ids = _prompt_ids(cfg, frames, seed=7)
+        pixels = np.random.default_rng(8).standard_normal(
+            (1, frames, 3, 28, 28)).astype(np.float32)
+        with torch.no_grad():
+            ref = reference_model(
+                input_ids=torch.from_numpy(ids),
+                images=torch.from_numpy(pixels)).logits.numpy()
+        from valley_tpu.models import valley
+
+        ours = np.asarray(valley.forward(params, cfg, jnp.asarray(ids),
+                                         jnp.asarray(pixels),
+                                         use_flash=False))
+        diff = np.max(np.abs(ours - ref))
+        assert diff < 1e-3, diff
+    finally:
+        inner.patch_pooling_method = old_method
+
+
 def test_multi_span_parity(reference_model, jax_equivalent):
     """Two <im_start> spans in one sample — the reference splices the SAME
     pooled features at every span (valley_model.py:224-229)."""
