@@ -83,6 +83,23 @@ def test_quantized_tp_inference_matches(cfg, params):
     assert got == expect
 
 
+def test_quantized_chat_session_matches_reprefill(cfg, params):
+    """int8 + multi-turn KV reuse compose."""
+    from valley_tpu.inference.engine import ChatSession
+
+    qparams = quantize_llama_params(jax.tree.map(jnp.copy, params))
+    eng = Engine(cfg, qparams, buckets=(64,), max_new_tokens=8,
+                 cache_dtype=jnp.float32, use_flash=False)
+    gen = GenerationConfig(max_new_tokens=4, do_sample=False)
+    sess = ChatSession(eng, gen)
+    r1 = sess.chat(list(range(10, 30)), eos_ids=[-1])
+    r2 = sess.chat([50, 51, 52], eos_ids=[-1])
+    conversation = list(range(10, 30)) + r1 + [50, 51, 52]
+    expect = [int(t[0]) for t in eng.generate_tokens(
+        [conversation], gen=gen, eos_ids=[-1])]
+    assert r2 == expect
+
+
 def test_quantize_idempotent(cfg, params):
     q1 = quantize_llama_params(jax.tree.map(jnp.copy, params))
     q2 = quantize_llama_params(q1)  # already int8 -> no-op
