@@ -190,6 +190,45 @@ def test_optimizer_multistep_accumulation(cfg, params):
     assert state is not None
 
 
+def test_crash_mid_training_then_resume_completes(cfg, params, tmp_path):
+    """Fault injection: the loader raises mid-epoch (simulated host crash);
+    a fresh Trainer auto-resumes from the last checkpoint and finishes the
+    run (reference only has auto-resume, `train.py:197-202` — this proves
+    ours end-to-end)."""
+    out = str(tmp_path / "crash")
+    tc = TrainConfig(output_dir=out, learning_rate=1e-3,
+                     freeze_backbone=True, tune_mm_mlp_adapter=True,
+                     num_train_epochs=1, per_device_train_batch_size=4,
+                     gradient_checkpointing=False, save_steps=1,
+                     mesh_data=1, mesh_fsdp=4, mesh_model=2)
+
+    class CrashingLoader:
+        def __init__(self, inner, crash_after):
+            self.inner, self.crash_after = inner, crash_after
+
+        def __len__(self):
+            return len(self.inner)
+
+        def epoch(self, i):
+            for n, b in enumerate(self.inner.epoch(i)):
+                if n == self.crash_after:
+                    raise RuntimeError("injected crash")
+                yield b
+
+    base_loader = make_loader(cfg)            # 8 samples / batch 4 = 2 steps
+    trainer = Trainer(cfg, tc, jax.tree.map(jnp.copy, params),
+                      CrashingLoader(base_loader, crash_after=1))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        trainer.train(resume=False)
+    assert os.path.isdir(os.path.join(out, "checkpoint-1"))
+
+    trainer2 = Trainer(cfg, tc, jax.tree.map(jnp.copy, params),
+                       make_loader(cfg))
+    steps = trainer2.train(resume=True)       # resumes at 1, finishes 2
+    assert steps == 2
+    assert os.path.isdir(os.path.join(out, "checkpoint-2"))
+
+
 def test_lora_training_with_adapter_snapshots(cfg, params, tmp_path):
     out = str(tmp_path / "lora_out")
     tc = TrainConfig(output_dir=out, learning_rate=1e-3, lora=True,

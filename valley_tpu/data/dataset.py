@@ -283,8 +283,9 @@ class PrefetchLoader:
                     if self.transform is not None:
                         batch = self.transform(batch)
                     q.put(batch)
-            finally:
                 q.put(sentinel)
+            except BaseException as e:  # surface crashes to the consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -292,6 +293,8 @@ class PrefetchLoader:
             item = q.get()
             if item is sentinel:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

@@ -302,6 +302,22 @@ class Trainer:
             return 0
         state, step = restored
         logger.info("resume from checkpoint-%d", step)
+        # orbax restores leaves as arrays COMMITTED to single devices; a
+        # committed dev-0 scalar can't mix with mesh-sharded params inside
+        # jit.  Re-place every leaf on the mesh: keep NamedShardings from
+        # the live state, replicate everything else.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        replicated = NamedSharding(self.mesh, PartitionSpec())
+
+        def place(restored_leaf, live_leaf):
+            sh = getattr(live_leaf, "sharding", None)
+            if not isinstance(sh, NamedSharding):
+                sh = replicated
+            return jax.device_put(restored_leaf, sh)
+
+        with self.mesh:
+            state = jax.tree.map(place, state, self.state)
         self.state = state
         return step
 
