@@ -153,11 +153,12 @@ def violates_moderation(text: str) -> bool:
 
 
 def pretty_print_semaphore(semaphore) -> str:
-    """(`valley/utils.py:176` parity)"""
+    """(`valley/utils.py:176` parity; handles asyncio + threading sems)"""
     if semaphore is None:
         return "None"
-    return (f"Semaphore(value={semaphore._value}, "
-            f"locked={semaphore.locked()})")
+    locked = semaphore.locked() if hasattr(semaphore, "locked") \
+        else semaphore._value == 0
+    return f"Semaphore(value={semaphore._value}, locked={locked})"
 
 
 def disable_progress():
