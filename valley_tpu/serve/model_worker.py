@@ -289,17 +289,55 @@ class ModelWorker:
             first_images = images
         else:
             first_images = None
-        try:
-            reply = session.chat(delta, images=first_images,
-                                 tokenizer=self.tokenizer,
-                                 eos_ids=[eos_id])
-        except RuntimeError as e:  # cache exhausted -> fresh session
-            logger.info("session %s reset: %s", session_id, e)
-            session = new_session()
-            reply = session.chat(list(input_ids), images=images,
-                                 tokenizer=self.tokenizer,
-                                 eos_ids=[eos_id])
-            delta = list(input_ids)
+        import queue as queue_mod
+
+        stream_q: "queue_mod.Queue" = queue_mod.Queue()
+
+        def run_chat():
+            nonlocal session, delta
+            try:
+                try:
+                    reply = session.chat(delta, images=first_images,
+                                         tokenizer=self.tokenizer,
+                                         eos_ids=[eos_id],
+                                         on_token=stream_q.put)
+                except RuntimeError as e:  # cache exhausted -> fresh
+                    logger.info("session %s reset: %s", session_id, e)
+                    fresh = new_session()
+                    reply = fresh.chat(list(input_ids), images=images,
+                                       tokenizer=self.tokenizer,
+                                       eos_ids=[eos_id],
+                                       on_token=stream_q.put)
+                    session = fresh
+                    delta = list(input_ids)
+                stream_q.put(("done", reply))
+            except Exception as e:  # pragma: no cover
+                stream_q.put(("error", e))
+
+        t = threading.Thread(target=run_chat, daemon=True)
+        t.start()
+
+        streamed: list = []
+        reply = None
+        while True:
+            item = stream_q.get()
+            if isinstance(item, tuple):
+                kind, payload = item
+                if kind == "error":
+                    raise payload
+                reply = payload
+                break
+            streamed.append(int(item))
+            if len(streamed) % self.stream_interval == 0:
+                cur = self.tokenizer.decode(streamed,
+                                            skip_special_tokens=True)
+                if stop_str:
+                    pos = cur.rfind(stop_str)
+                    if pos != -1:
+                        cur = cur[:pos]
+                yield json.dumps({"text": ori_prompt + cur,
+                                  "error_code": 0}).encode() + b"\0"
+
         cur_out = self.tokenizer.decode(reply, skip_special_tokens=True)
         if stop_str:
             pos = cur_out.rfind(stop_str)
