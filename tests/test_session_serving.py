@@ -67,6 +67,16 @@ def test_session_divergence_resets(stack):
     assert out == ref
 
 
+def test_session_mode_streams_incrementally(stack):
+    worker, url, tk = stack
+    payload = {"prompt": "### Human: long story please\n### Assistant:",
+               "temperature": 0.0, "max_new_tokens": 12,
+               "session_id": "streamy"}
+    chunks = list(stream_chunks(url, payload, timeout=120))
+    assert chunks[-1]["error_code"] == 0
+    assert len(chunks) > 2     # intermediate chunks, not just the final
+
+
 def test_session_lru_eviction(stack):
     worker, url, tk = stack
     _ask(url, "### Human: s3\n### Assistant:", session_id="s3")
