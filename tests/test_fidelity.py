@@ -116,7 +116,7 @@ def test_temporal_transformer_matches_torch():
         np.float32)
     with torch.no_grad():
         xt = torch.from_numpy(x).permute(1, 0, 2)          # (P, T, H)
-        pos = torch.from_numpy(np.asarray(
+        pos = torch.from_numpy(np.array(
             tparams["position_matrix"][:t]))[None]
         delta = enc(xt + pos)[:, -1, :]
         ref = (delta + xt.mean(dim=1)).numpy()
