@@ -103,6 +103,21 @@ def test_streaming_with_keyword_stop(cfg, params, engine):
     assert all(isinstance(c, str) for c in chunks)
 
 
+def test_no_recompiles_within_bucket(cfg, params):
+    """Different prompt lengths within one bucket must reuse the same
+    compiled executables (the engine's core latency property)."""
+    eng = Engine(cfg, params, buckets=(64,), max_new_tokens=9,
+                 cache_dtype=jnp.float32, use_flash=False,
+                 steps_per_call=4)
+    gen = GenerationConfig(max_new_tokens=9, do_sample=False)
+    for n in (10, 33, 57):
+        list(eng.generate_tokens([list(range(5, 5 + n))], gen=gen,
+                                 eos_ids=[-1]))
+    assert eng._prefill._cache_size() == 1
+    # one full 4-step chunk + at most one residual chunk size
+    assert eng._decode._cache_size() <= 2
+
+
 def test_build_prompt_golden():
     msgs = [
         {"role": "system", "content": "SYS"},
