@@ -123,6 +123,15 @@ def test_http_worker_continuous_mode(engine):
         assert chunks and chunks[-1]["error_code"] == 0
 
 
+def test_continuous_warmup(engine):
+    c2 = ContinuousEngine(engine, rows=2, bucket=64, extra_slots=32,
+                          steps_per_call=2)
+    c2.warmup()  # compiles without error
+    got = _collect(c2.submit(list(range(10, 20)), max_new_tokens=3,
+                             eos_id=-1))
+    assert len(got) == 3
+
+
 def test_eos_ends_row_early(engine, cont):
     prompt = list(range(10, 40))
     probe = _solo(engine, prompt, 8)

@@ -145,6 +145,19 @@ class ContinuousEngine:
 
     drain = staticmethod(lambda outq: _drain(outq))
 
+    def warmup(self, frames: int = 0) -> None:
+        """Compile the prefill + pooled decode executables up front."""
+        images = None
+        if frames:
+            v = self.engine.cfg.vision
+            images = np.zeros((1, frames, 3, v.image_size, v.image_size),
+                              np.float32)
+        outq = self.submit(list(range(2, 2 + self.bucket // 2)),
+                           images=images,
+                           max_new_tokens=self.steps + 1, eos_id=-1)
+        for _ in _drain(outq):
+            pass
+
     # -- scheduler loop ------------------------------------------------------
 
     def _admit(self):

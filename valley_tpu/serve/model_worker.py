@@ -479,6 +479,9 @@ def main():
                          batch_window_ms=args.batch_window_ms,
                          max_batch=args.max_batch,
                          max_sessions=args.max_sessions)
+    if args.warmup and worker.continuous is not None:
+        worker.continuous.warmup(frames=args.num_frames)
+        logger.info("continuous-batching warmup done")
     app = build_app(worker)
     app.host, app._port = args.host, args.port
     app.serve_forever()
