@@ -76,10 +76,15 @@ function addTurn(role, text){
   history.push([role, text]);
   render();
 }
+function esc(s){
+  return String(s).replace(/&/g,'&amp;').replace(/</g,'&lt;')
+                  .replace(/>/g,'&gt;');
+}
 function render(){
   const chat = document.getElementById('chat');
   chat.innerHTML = history.map(([r,t]) =>
-    `<div class="turn"><span class="role">${r}:</span> ${t}</div>`).join('');
+    `<div class="turn"><span class="role">${esc(r)}:</span> ${esc(t)}</div>`
+  ).join('');
   chat.scrollTop = chat.scrollHeight;
 }
 async function send(){
