@@ -49,6 +49,32 @@ def checkpoint_dir(tmp_path_factory):
     return str(d), model
 
 
+def test_load_honors_checkpoint_vision_select_layer(checkpoint_dir):
+    """A checkpoint trained with a non-default vision tap (config.json
+    mm_vision_select_layer) must load with that tap, not the arg default
+    (the reference reads it from model config at forward time)."""
+    path, _ = checkpoint_dir
+    with open(f"{path}/config.json") as f:
+        hf_cfg = json.load(f)
+    hf_cfg["mm_vision_select_layer"] = -1
+    with open(f"{path}/config.json", "w") as f:
+        json.dump(hf_cfg, f)
+    try:
+        cfg, _params, _tok = hf_bridge.load_valley_checkpoint(path)
+        assert cfg.vision.select_layer == -1
+        # explicit argument is only a fallback for configs without the key
+        del hf_cfg["mm_vision_select_layer"]
+        with open(f"{path}/config.json", "w") as f:
+            json.dump(hf_cfg, f)
+        cfg2, _p, _t = hf_bridge.load_valley_checkpoint(path,
+                                                        select_layer=-3)
+        assert cfg2.vision.select_layer == -3
+    finally:
+        hf_cfg.pop("mm_vision_select_layer", None)
+        with open(f"{path}/config.json", "w") as f:
+            json.dump(hf_cfg, f)
+
+
 def test_load_valley_checkpoint_grows_vocab(checkpoint_dir):
     path, torch_model = checkpoint_dir
     cfg, params, tokenizer = hf_bridge.load_valley_checkpoint(path)

@@ -132,6 +132,19 @@ def test_continuous_warmup(engine):
     assert len(got) == 3
 
 
+def test_bad_request_fails_without_killing_scheduler(engine, cont):
+    """A prompt longer than the prefill bucket must error on its own queue
+    (not hang) and leave the scheduler serving later requests."""
+    too_long = list(range(5, 5 + 200))         # bucket is 64
+    outq = cont.submit(too_long, max_new_tokens=4, eos_id=-1)
+    with pytest.raises(ValueError):
+        _collect(outq)
+    # scheduler thread survived: a normal request still completes
+    p = list(range(12, 44))
+    expect = _solo(engine, p, 4)
+    assert _collect(cont.submit(p, max_new_tokens=4, eos_id=-1)) == expect
+
+
 def test_eos_ends_row_early(engine, cont):
     prompt = list(range(10, 40))
     probe = _solo(engine, prompt, 8)

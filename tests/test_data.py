@@ -117,11 +117,33 @@ def test_augmentations_run():
               T.RandomRotation(10, rng=rng),
               T.STA_RandomRotation(10, rng=rng),
               T.Each_RandomRotation(10, rng=rng),
-              T.ColorJitter(0.4, 0.4, 0.4, rng=rng),
-              T.EachColorJitter(0.4, 0.4, 0.4, rng=rng),
+              T.ColorJitter(0.4, 0.4, 0.4, 0.2, rng=rng),
+              T.EachColorJitter(0.4, 0.4, 0.4, 0.2, rng=rng),
               T.RandomResize(rng=rng)]:
         out = t(frames)
         assert len(out) == 3
+
+
+def test_hue_jitter_matches_colorsys():
+    """The hue branch (torchvision adjust_hue semantics) against the stdlib
+    HSV roundtrip, and identity at shift 0."""
+    import colorsys
+
+    rng = np.random.default_rng(3)
+    f = rng.uniform(0, 255, (4, 5, 3)).astype(np.float32)
+    shift = 0.17
+    got = T._shift_hue(f, shift)
+    for i in range(4):
+        for j in range(5):
+            h, s, v = colorsys.rgb_to_hsv(*(f[i, j] / 255.0).tolist())
+            exp = np.asarray(
+                colorsys.hsv_to_rgb((h + shift) % 1.0, s, v)) * 255.0
+            np.testing.assert_allclose(got[i, j], exp, atol=1e-2)
+    np.testing.assert_allclose(T._shift_hue(f, 0.0), f, atol=1e-2)
+    # hue=0 ColorJitter leaves frames bit-identical (uint8 path)
+    u8 = [rng.integers(0, 255, (8, 8, 3)).astype(np.uint8)]
+    out = T.ColorJitter(0, 0, 0, 0, rng=rng)(u8)
+    np.testing.assert_array_equal(out[0], u8[0])
 
 
 # -- video --------------------------------------------------------------

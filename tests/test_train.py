@@ -123,6 +123,45 @@ def test_lora_merge_matches_runtime_delta(cfg, params):
                                atol=2e-4)
 
 
+def test_lora_dropout_deterministic_and_train_only(cfg, params):
+    """peft lora_dropout parity: applied only when an rng is passed (train),
+    deterministic per key, identity at rate 0 / rng None (eval)."""
+    p = lora_lib.add_lora(params, jax.random.key(1), r=4, dtype=jnp.float32)
+    layers = dict(p["llama"]["layers"])
+    for k in list(layers):
+        if k.endswith("_lora_b"):
+            layers[k] = jnp.ones_like(layers[k]) * 0.01
+    p["llama"] = dict(p["llama"], layers=layers)
+    ids = jnp.asarray(np.random.default_rng(0).integers(5, 400, (1, 16)))
+    batch = {"input_ids": ids, "labels": jnp.where(ids > 4, ids, -100)}
+
+    base = float(valley.loss_fn(p, cfg, batch, remat=False))
+    d1 = float(valley.loss_fn(p, cfg, batch, remat=False,
+                              lora_rng=jax.random.key(7), lora_dropout=0.5))
+    d2 = float(valley.loss_fn(p, cfg, batch, remat=False,
+                              lora_rng=jax.random.key(7), lora_dropout=0.5))
+    d3 = float(valley.loss_fn(p, cfg, batch, remat=False,
+                              lora_rng=jax.random.key(8), lora_dropout=0.5))
+    off = float(valley.loss_fn(p, cfg, batch, remat=False,
+                               lora_rng=jax.random.key(7), lora_dropout=0.0))
+    assert d1 == d2               # same key -> same mask
+    assert d1 != base and d1 != d3
+    assert off == base            # rate 0 == no dropout
+
+
+def test_linear_schedule_warmup_ramps_from_zero():
+    tc = TrainConfig(learning_rate=1e-2, lr_scheduler_type="linear",
+                     warmup_ratio=0.1)
+    from valley_tpu.train.trainer import make_schedule
+
+    sched = make_schedule(tc, total_steps=100)
+    assert float(sched(0)) < 1e-3 * 1e-2          # starts ~0
+    assert abs(float(sched(10)) - 1e-2) < 1e-6    # peak at warmup end
+    assert float(sched(5)) == pytest.approx(5e-3, rel=1e-3)  # mid-ramp
+    assert float(sched(55)) == pytest.approx(5e-3, rel=1e-3)  # mid-decay
+    assert float(sched(100)) < 1e-6
+
+
 def test_train_loop_loss_decreases(cfg, params, tmp_path):
     tc = TrainConfig(output_dir=str(tmp_path / "out"), learning_rate=1e-3,
                      freeze_backbone=True, tune_mm_mlp_adapter=True,

@@ -262,7 +262,36 @@ class Each_RandomRotation:
                                             self.degrees[1])) for f in clip]
 
 
-def _adjust_frame(frame, brightness, contrast, saturation):
+def _shift_hue(f, shift):
+    """Rotate the HSV hue channel by ``shift`` (fraction of a full turn,
+    torchvision `adjust_hue` semantics). ``f``: float32 HWC RGB, 0..255."""
+    rgb = f / 255.0
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = rgb.max(-1)
+    mn = rgb.min(-1)
+    diff = mx - mn
+    safe = np.where(diff > 0, diff, 1.0)
+    h = np.select(
+        [mx == r, mx == g],
+        [((g - b) / safe) % 6.0, (b - r) / safe + 2.0],
+        default=(r - g) / safe + 4.0)
+    h = np.where(diff > 0, h / 6.0, 0.0)
+    s = np.where(mx > 0, diff / np.where(mx > 0, mx, 1.0), 0.0)
+
+    h = (h + shift) % 1.0
+    i = np.floor(h * 6.0)
+    frac = h * 6.0 - i
+    p = mx * (1.0 - s)
+    q = mx * (1.0 - s * frac)
+    t = mx * (1.0 - s * (1.0 - frac))
+    i = i.astype(np.int32) % 6
+    r2 = np.choose(i, [mx, q, p, p, t, mx])
+    g2 = np.choose(i, [t, mx, mx, q, p, p])
+    b2 = np.choose(i, [p, p, t, mx, mx, q])
+    return np.stack([r2, g2, b2], axis=-1) * 255.0
+
+
+def _adjust_frame(frame, brightness, contrast, saturation, hue=0.0):
     f = frame.astype(np.float32)
     f = f * brightness
     if contrast != 1.0:
@@ -271,6 +300,8 @@ def _adjust_frame(frame, brightness, contrast, saturation):
     if saturation != 1.0:
         gray = f @ np.asarray([0.299, 0.587, 0.114], np.float32)
         f = (f - gray[..., None]) * saturation + gray[..., None]
+    if hue != 0.0:
+        f = _shift_hue(np.clip(f, 0, 255), hue)
     return np.clip(f, 0, 255).astype(frame.dtype)
 
 
@@ -292,11 +323,12 @@ class ColorJitter:
             if self.contrast else 1.0
         s = r.uniform(max(0, 1 - self.saturation), 1 + self.saturation) \
             if self.saturation else 1.0
-        return b, c, s
+        h = r.uniform(-self.hue, self.hue) if self.hue else 0.0
+        return b, c, s, h
 
     def __call__(self, clip):
-        b, c, s = self._factors()
-        return [_adjust_frame(f, b, c, s) for f in clip]
+        b, c, s, h = self._factors()
+        return [_adjust_frame(f, b, c, s, h) for f in clip]
 
 
 class EachColorJitter(ColorJitter):

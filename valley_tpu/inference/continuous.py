@@ -67,16 +67,8 @@ class ContinuousEngine:
         self.steps = steps_per_call or engine.steps_per_call
         self._key = jax.random.key(seed)
 
-        cfg = engine.cfg
-        self._cache = llama.init_cache(cfg.text, rows, self.smax,
-                                       engine.cache_dtype)
-        self._valid = jnp.zeros((rows, self.smax), bool)
-        self._seq = jnp.zeros((rows,), jnp.int32)
-        self._slot = jnp.full((rows,), self.smax - 1, jnp.int32)
-        self._token = jnp.zeros((rows,), jnp.int32)
         self._active: List[Optional[_Request]] = [None] * rows
-        self._temps = np.zeros((rows,), np.float32)
-        self._top_ps = np.ones((rows,), np.float32)
+        self._reset_pool()
 
         self._decode = jax.jit(self._decode_impl,
                                static_argnames=("n_steps",),
@@ -88,6 +80,19 @@ class ContinuousEngine:
         self._wake = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def _reset_pool(self):
+        """(Re)build the device-side pool state. Also the recovery path
+        after a failed decode chunk (donated buffers may be invalid)."""
+        cfg, rows = self.engine.cfg, self.rows
+        self._cache = llama.init_cache(cfg.text, rows, self.smax,
+                                       self.engine.cache_dtype)
+        self._valid = jnp.zeros((rows, self.smax), bool)
+        self._seq = jnp.zeros((rows,), jnp.int32)
+        self._slot = jnp.full((rows,), self.smax - 1, jnp.int32)
+        self._token = jnp.zeros((rows,), jnp.int32)
+        self._temps = np.zeros((rows,), np.float32)
+        self._top_ps = np.ones((rows,), np.float32)
 
     # -- jitted state transforms ------------------------------------------
 
@@ -169,35 +174,50 @@ class ContinuousEngine:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 return
-            self._key, sub = jax.random.split(self._key)
-            lens = np.asarray([len(req.input_ids)], np.int32)
-            ids = np.zeros((1, self.bucket), np.int32)
-            ids[0, :lens[0]] = req.input_ids
-            has_images = req.images is not None
-            if has_images:
-                images = jnp.asarray(np.asarray(
-                    req.images, np.float32).astype(jnp.bfloat16))
-            else:
-                v = eng.cfg.vision
-                images = jnp.zeros((1, 1, 3, v.image_size, v.image_size),
-                                   jnp.bfloat16)
-            tok, _lg, row_cache, row_valid = eng._prefill(
-                eng.params, jnp.asarray(ids), images, jnp.asarray(lens),
-                sub, req.temperature, req.top_p, bucket=self.bucket,
-                cache_len=self.smax, do_sample=req.temperature >= 1e-4,
-                has_images=has_images)
-            (self._cache, self._valid, self._token, self._slot,
-             self._seq) = self._insert(
-                self._cache, self._valid, self._token, self._slot,
-                self._seq, row_cache, row_valid.astype(bool), tok[0],
-                jnp.asarray(lens[0]), jnp.int32(b))
-            self._active[b] = req
-            self._temps[b] = req.temperature
-            self._top_ps[b] = req.top_p
-            # the prefill-sampled token is the first output token
-            req.out.put(int(np.asarray(tok)[0]))
-            req.emitted = 1
-            self._finish_if_done(b, int(np.asarray(tok)[0]))
+            try:
+                self._admit_one(b, req)
+            except Exception as e:  # noqa: BLE001 — deliver, don't die
+                logger.exception("admission failed for request")
+                req.out.put(e)
+                req.out.put(_DONE)
+                self._active[b] = None
+                self._temps[b] = 0.0
+
+    def _admit_one(self, b: int, req: _Request):
+        eng = self.engine
+        if len(req.input_ids) > self.bucket:
+            raise ValueError(
+                f"prompt of {len(req.input_ids)} tokens exceeds the "
+                f"{self.bucket}-token prefill bucket")
+        self._key, sub = jax.random.split(self._key)
+        lens = np.asarray([len(req.input_ids)], np.int32)
+        ids = np.zeros((1, self.bucket), np.int32)
+        ids[0, :lens[0]] = req.input_ids
+        has_images = req.images is not None
+        if has_images:
+            images = jnp.asarray(np.asarray(
+                req.images, np.float32).astype(jnp.bfloat16))
+        else:
+            v = eng.cfg.vision
+            images = jnp.zeros((1, 1, 3, v.image_size, v.image_size),
+                               jnp.bfloat16)
+        tok, _lg, row_cache, row_valid = eng._prefill(
+            eng.params, jnp.asarray(ids), images, jnp.asarray(lens),
+            sub, req.temperature, req.top_p, bucket=self.bucket,
+            cache_len=self.smax, do_sample=req.temperature >= 1e-4,
+            has_images=has_images)
+        (self._cache, self._valid, self._token, self._slot,
+         self._seq) = self._insert(
+            self._cache, self._valid, self._token, self._slot,
+            self._seq, row_cache, row_valid.astype(bool), tok[0],
+            jnp.asarray(lens[0]), jnp.int32(b))
+        self._active[b] = req
+        self._temps[b] = req.temperature
+        self._top_ps[b] = req.top_p
+        # the prefill-sampled token is the first output token
+        req.out.put(int(np.asarray(tok)[0]))
+        req.emitted = 1
+        self._finish_if_done(b, int(np.asarray(tok)[0]))
 
     def _finish_if_done(self, b: int, tok: int):
         req = self._active[b]
@@ -219,12 +239,24 @@ class ContinuousEngine:
             if all(r is None for r in self._active):
                 continue
             self._key, sub = jax.random.split(self._key)
-            toks, self._cache, self._valid, self._token, self._slot, \
-                self._seq = self._decode(
-                    self.engine.params, self._cache, self._valid,
-                    self._token, self._slot, self._seq, sub,
-                    jnp.asarray(self._temps), jnp.asarray(self._top_ps),
-                    n_steps=self.steps)
+            try:
+                toks, self._cache, self._valid, self._token, self._slot, \
+                    self._seq = self._decode(
+                        self.engine.params, self._cache, self._valid,
+                        self._token, self._slot, self._seq, sub,
+                        jnp.asarray(self._temps), jnp.asarray(self._top_ps),
+                        n_steps=self.steps)
+            except Exception as e:  # noqa: BLE001 — deliver, don't die
+                logger.exception("decode chunk failed")
+                for b in range(self.rows):
+                    req = self._active[b]
+                    if req is not None:
+                        req.out.put(e)
+                        req.out.put(_DONE)
+                        self._active[b] = None
+                # donated cache/valid buffers may be invalid now
+                self._reset_pool()
+                continue
             toks_np = np.asarray(toks)           # (steps, rows)
             for step in range(toks_np.shape[0]):
                 for b in range(self.rows):

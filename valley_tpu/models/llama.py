@@ -87,11 +87,20 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     return normed * weight
 
 
-def _proj(lp, name: str, x: jnp.ndarray) -> jnp.ndarray:
+# stable per-projection ids for LoRA-dropout rng folding
+_PROJ_IDS = {"wq": 0, "wk": 1, "wv": 2, "wo": 3,
+             "w_gate": 4, "w_up": 5, "w_down": 6}
+
+
+def _proj(lp, name: str, x: jnp.ndarray, lora_rng=None,
+          lora_dropout: float = 0.0) -> jnp.ndarray:
     """x @ W plus the LoRA low-rank delta when adapter factors are present
     (frozen base + trainable A/B — the param-tree-surgery equivalent of
-    peft's target_modules, reference `train.py:153-161`).  int8 weights
-    (serving quantization, `ops/quant.py`) dequantize into the matmul."""
+    peft's target_modules, reference `train.py:153-161`).  With
+    ``lora_rng`` set, dropout is applied to the adapter-branch input during
+    training (peft ``lora_dropout=0.05``, reference `train.py:156`).  int8
+    weights (serving quantization, `ops/quant.py`) dequantize into the
+    matmul."""
     w = lp[name]
     if w.dtype == jnp.int8:
         scale = lp[name + "_scale"]
@@ -118,14 +127,20 @@ def _proj(lp, name: str, x: jnp.ndarray) -> jnp.ndarray:
         out = x @ w
     a = lp.get(name + "_lora_a")
     if a is not None:
-        delta = (x @ a) @ lp[name + "_lora_b"]
+        xl = x
+        if lora_rng is not None and lora_dropout > 0.0:
+            keep = 1.0 - lora_dropout
+            mask = jax.random.bernoulli(
+                jax.random.fold_in(lora_rng, _PROJ_IDS[name]), keep, x.shape)
+            xl = jnp.where(mask, x / keep, 0).astype(x.dtype)
+        delta = (xl @ a) @ lp[name + "_lora_b"]
         out = out + delta * lp["lora_scale"][0, 0]
     return out
 
 
 def _attn(lp, x, cfg: TextConfig, cos, sin, *, attn_mask=None,
           cache_kv=None, cache_index=None, kv_valid=None, cross_valid=None,
-          use_flash=None):
+          use_flash=None, lora_rng=None, lora_dropout: float = 0.0):
     """Self-attention for one layer.
 
     Without a cache: causal attention over the block (training / parity
@@ -134,10 +149,12 @@ def _attn(lp, x, cfg: TextConfig, cos, sin, *, attn_mask=None,
     Returns (output, (new_k_slice, new_v_slice) or updated cache tensors).
     """
     b, s, h = x.shape
-    q = _proj(lp, "wq", x).reshape(b, s, cfg.num_attention_heads,
-                                   cfg.head_dim)
-    k = _proj(lp, "wk", x).reshape(b, s, cfg.kv_heads, cfg.head_dim)
-    v = _proj(lp, "wv", x).reshape(b, s, cfg.kv_heads, cfg.head_dim)
+    proj = functools.partial(_proj, lora_rng=lora_rng,
+                             lora_dropout=lora_dropout)
+    q = proj(lp, "wq", x).reshape(b, s, cfg.num_attention_heads,
+                                  cfg.head_dim)
+    k = proj(lp, "wk", x).reshape(b, s, cfg.kv_heads, cfg.head_dim)
+    v = proj(lp, "wv", x).reshape(b, s, cfg.kv_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -193,26 +210,30 @@ def _attn(lp, x, cfg: TextConfig, cos, sin, *, attn_mask=None,
                                 use_flash=use_flash)
         new_kv = (ck, cv)
 
-    out = _proj(lp, "wo", out.reshape(b, s, h))
+    out = proj(lp, "wo", out.reshape(b, s, h))
     return out, new_kv
 
 
-def _mlp(lp, x):
-    gate = jax.nn.silu(_proj(lp, "w_gate", x).astype(jnp.float32))
-    up = _proj(lp, "w_up", x).astype(jnp.float32)
-    return _proj(lp, "w_down", (gate * up).astype(x.dtype))
+def _mlp(lp, x, lora_rng=None, lora_dropout: float = 0.0):
+    proj = functools.partial(_proj, lora_rng=lora_rng,
+                             lora_dropout=lora_dropout)
+    gate = jax.nn.silu(proj(lp, "w_gate", x).astype(jnp.float32))
+    up = proj(lp, "w_up", x).astype(jnp.float32)
+    return proj(lp, "w_down", (gate * up).astype(x.dtype))
 
 
 def _layer(lp, x, cfg, cos, sin, attn_mask, cache_kv, cache_index, kv_valid,
-           cross_valid, use_flash):
+           cross_valid, use_flash, lora_rng=None, lora_dropout=0.0):
     attn_out, new_kv = _attn(lp, rms_norm(x, lp["attn_norm"],
                                           cfg.rms_norm_eps),
                              cfg, cos, sin, attn_mask=attn_mask,
                              cache_kv=cache_kv, cache_index=cache_index,
                              kv_valid=kv_valid, cross_valid=cross_valid,
-                             use_flash=use_flash)
+                             use_flash=use_flash, lora_rng=lora_rng,
+                             lora_dropout=lora_dropout)
     x = x + attn_out
-    x = x + _mlp(lp, rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps))
+    x = x + _mlp(lp, rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps),
+                 lora_rng=lora_rng, lora_dropout=lora_dropout)
     return x, new_kv
 
 
@@ -232,12 +253,15 @@ def forward_hidden(params, cfg: TextConfig, inputs_embeds: jnp.ndarray,
                    kv_valid: Optional[jnp.ndarray] = None,
                    cross_valid: Optional[jnp.ndarray] = None,
                    remat: bool = False,
-                   use_flash: Optional[bool] = None):
+                   use_flash: Optional[bool] = None,
+                   lora_rng=None, lora_dropout: float = 0.0):
     """Run the decoder stack.  Returns (hidden, new_cache_or_None).
 
     inputs_embeds: (B, S, H).  attn_mask: (B, S) padding mask for the
     cacheless path.  positions: (B, S) rotary positions (defaults to
     arange, or cache_index + arange when a cache is used).
+    ``lora_rng``: training-time dropout key for the LoRA adapter branch
+    (split per layer; None = inference/eval, no dropout).
     """
     b, s, _ = inputs_embeds.shape
     if positions is None:
@@ -251,28 +275,29 @@ def forward_hidden(params, cfg: TextConfig, inputs_embeds: jnp.ndarray,
                                  attn_mask=attn_mask,
                                  cache_index=cache_index, kv_valid=kv_valid,
                                  cross_valid=cross_valid,
-                                 use_flash=use_flash)
+                                 use_flash=use_flash,
+                                 lora_dropout=lora_dropout)
+    use_lora_rng = lora_rng is not None and lora_dropout > 0.0
+
+    xs = {"lp": params["layers"]}
+    if cache is not None:
+        xs["ck"], xs["cv"] = cache.k, cache.v
+    if use_lora_rng:
+        xs["lora_key"] = jax.random.split(lora_rng, cfg.num_hidden_layers)
 
     def scan_body(x, layer_inputs):
-        if cache is None:
-            lp = layer_inputs
-            x, _ = layer_fn(lp, x, cache_kv=None)
-            return x, None
-        lp, ck, cv = layer_inputs
-        x, (nk, nv) = layer_fn(lp, x, cache_kv=(ck, cv))
-        return x, (nk, nv)
+        cache_kv = ((layer_inputs["ck"], layer_inputs["cv"])
+                    if cache is not None else None)
+        x, new_kv = layer_fn(layer_inputs["lp"], x, cache_kv=cache_kv,
+                             lora_rng=layer_inputs.get("lora_key"))
+        return x, (new_kv if cache is not None else None)
 
     if remat:
         scan_body = jax.checkpoint(scan_body,
                                    policy=jax.checkpoint_policies.nothing_saveable)
 
-    if cache is None:
-        hidden, _ = jax.lax.scan(scan_body, inputs_embeds, params["layers"])
-        new_cache = None
-    else:
-        hidden, (nk, nv) = jax.lax.scan(
-            scan_body, inputs_embeds, (params["layers"], cache.k, cache.v))
-        new_cache = KVCache(nk, nv)
+    hidden, ys = jax.lax.scan(scan_body, inputs_embeds, xs)
+    new_cache = KVCache(ys[0], ys[1]) if cache is not None else None
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     return hidden, new_cache
@@ -288,8 +313,10 @@ def logits_from_hidden(params, hidden: jnp.ndarray) -> jnp.ndarray:
 
 
 def forward(params, cfg: TextConfig, inputs_embeds, attn_mask=None,
-            remat: bool = False, use_flash=None):
+            remat: bool = False, use_flash=None, lora_rng=None,
+            lora_dropout: float = 0.0):
     """Training/parity forward: (B, S, H) -> fp32 logits (B, S, V)."""
     hidden, _ = forward_hidden(params, cfg, inputs_embeds, attn_mask,
-                               remat=remat, use_flash=use_flash)
+                               remat=remat, use_flash=use_flash,
+                               lora_rng=lora_rng, lora_dropout=lora_dropout)
     return logits_from_hidden(params, hidden)

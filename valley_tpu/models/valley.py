@@ -120,13 +120,15 @@ def forward(params, cfg: ValleyConfig, input_ids: jnp.ndarray,
             attn_mask: Optional[jnp.ndarray] = None,
             remat: bool = False,
             use_flash: Optional[bool] = None,
-            frame_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+            frame_mask: Optional[jnp.ndarray] = None,
+            lora_rng=None, lora_dropout: float = 0.0) -> jnp.ndarray:
     """Full forward to fp32 logits (B, S, V) — the jittable equivalent of
     `ValleyLlamaForCausalLM.forward` (`valley_model.py:272-305`)."""
     embeds = build_inputs_embeds(params, cfg, input_ids, images,
                                  frame_mask=frame_mask)
     return llama.forward(params["llama"], cfg.text, embeds, attn_mask,
-                         remat=remat, use_flash=use_flash)
+                         remat=remat, use_flash=use_flash,
+                         lora_rng=lora_rng, lora_dropout=lora_dropout)
 
 
 def shifted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray
@@ -145,9 +147,11 @@ def shifted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray
 
 
 def loss_fn(params, cfg: ValleyConfig, batch, remat: bool = True,
-            use_flash: Optional[bool] = None) -> jnp.ndarray:
+            use_flash: Optional[bool] = None,
+            lora_rng=None, lora_dropout: float = 0.0) -> jnp.ndarray:
     logits = forward(params, cfg, batch["input_ids"],
                      batch.get("images"), batch.get("attention_mask"),
                      remat=remat, use_flash=use_flash,
-                     frame_mask=batch.get("frame_mask"))
+                     frame_mask=batch.get("frame_mask"),
+                     lora_rng=lora_rng, lora_dropout=lora_dropout)
     return shifted_cross_entropy(logits, batch["labels"])

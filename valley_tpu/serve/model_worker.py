@@ -63,6 +63,7 @@ class ModelWorker:
         self._semaphore = threading.Semaphore(limit_model_concurrency)
         self._limit = limit_model_concurrency
         self._active = 0
+        self._active_lock = threading.Lock()  # mutated from handler threads
         self.batcher = None
         self.continuous = None
         if batch_window_ms > 0:
@@ -350,7 +351,8 @@ class ModelWorker:
                           "error_code": 0}).encode() + b"\0"
 
     def generate_stream_gate(self, params: dict):
-        self._active += 1
+        with self._active_lock:
+            self._active += 1
         try:
             with self._semaphore:
                 yield from self.generate_stream(params)
@@ -362,7 +364,8 @@ class ModelWorker:
             yield json.dumps({"text": f"{server_error_msg} ({e})",
                               "error_code": 1}).encode() + b"\0"
         finally:
-            self._active -= 1
+            with self._active_lock:
+                self._active -= 1
 
 
 def build_app(worker: ModelWorker) -> JsonHttpServer:

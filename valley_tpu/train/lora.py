@@ -6,7 +6,10 @@ with `merge_and_unload` at inference (`run_valley.py:33-34`).  Here LoRA is
 just extra arrays in ``params["llama"]["layers"]`` — ``<name>_lora_a``
 (H, r), ``<name>_lora_b`` (r, H'), stacked over layers — which
 `llama._proj` picks up automatically.  Freezing the base is a trainable
-mask over the tree (see trainer), not module flags.
+mask over the tree (see trainer), not module flags.  The peft
+``lora_dropout=0.05`` is applied at train time by the trainer passing a
+per-step ``lora_rng`` into the forward (`llama._proj`); inference/eval
+paths pass no rng and get the deterministic adapter.
 """
 
 from __future__ import annotations

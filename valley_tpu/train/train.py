@@ -211,6 +211,8 @@ def train(conf_path: str) -> int:
 
     eval_fn = None
     if tc.evaluation_strategy == "steps":
+        eval_engine = {}  # persists across eval steps: one compile total
+
         def eval_fn(current_params, step):
             from valley_tpu.inference.engine import Engine, GenerationConfig
             from valley_tpu.train.eval_loop import generate_eval
@@ -218,9 +220,16 @@ def train(conf_path: str) -> int:
             p = jax.device_get(current_params)
             if tc.lora:
                 p = lora_lib.merge_lora(p)
-            max_len = getattr(tokenizer, "model_max_length", 2048)
-            eng = Engine(cfg, p, buckets=(min(1024, max_len), max_len),
-                         max_new_tokens=256)
+            eng = eval_engine.get("engine")
+            if eng is None:
+                max_len = getattr(tokenizer, "model_max_length", 2048)
+                eng = Engine(cfg, p, buckets=(min(1024, max_len), max_len),
+                             max_new_tokens=256)
+                eval_engine["engine"] = eng
+            else:
+                # same shapes/dtypes -> the jitted prefill/decode
+                # executables are reused, no recompile
+                eng.params = jax.device_put(p)
             return generate_eval(
                 eng, tokenizer, module["train_dataset"],
                 eval_num=tc.eval_num, conv_mode=data_args.conv_mode,

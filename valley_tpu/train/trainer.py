@@ -69,6 +69,9 @@ class TrainConfig:
     lora: bool = False
     lora_r: int = 16
     lora_alpha: int = 32
+    # peft lora_dropout (reference train.py:156); applied to the adapter
+    # branch input during training only
+    lora_dropout: float = 0.05
     # "no" | "steps": also drop adapter-only snapshots at save_steps
     # (`LLMCallback` parity, trainner.py:51-120 / lora_save_strategy)
     lora_save_strategy: str = "no"
@@ -151,8 +154,12 @@ def make_schedule(tc: TrainConfig, total_steps: int):
     if tc.lr_scheduler_type == "constant":
         return optax.constant_schedule(tc.learning_rate)
     if tc.lr_scheduler_type == "linear":
-        return optax.linear_schedule(tc.learning_rate, 0.0,
-                                     max(total_steps - warmup, 1), warmup)
+        # HF linear-with-warmup: ramp 0 -> lr over warmup, then lr -> 0
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, tc.learning_rate, max(warmup, 1)),
+             optax.linear_schedule(tc.learning_rate, 0.0,
+                                   max(total_steps - warmup, 1))],
+            [warmup])
     return optax.warmup_cosine_decay_schedule(
         0.0, tc.learning_rate, warmup, max(total_steps, 1), end_value=0.0)
 
@@ -203,9 +210,17 @@ class Trainer:
             // max(tc.gradient_accumulation_steps, 1))
         self.tx, self.schedule, self.labels = make_optimizer(
             params, tc, self.total_steps)
-        self._loss_fn = loss_fn or (
-            lambda p, batch: valley.loss_fn(
-                p, cfg, batch, remat=tc.gradient_checkpointing))
+        # training-time LoRA dropout: derive a deterministic per-step key
+        # inside the jitted step (fold the step counter into the seed)
+        self._lora_dropout = tc.lora_dropout if tc.lora else 0.0
+        if loss_fn is not None:
+            self._loss_fn = loss_fn
+            self._lora_dropout = 0.0
+        else:
+            self._loss_fn = (
+                lambda p, batch, lora_rng=None: valley.loss_fn(
+                    p, cfg, batch, remat=tc.gradient_checkpointing,
+                    lora_rng=lora_rng, lora_dropout=self._lora_dropout))
 
         with self.mesh:
             params = shard_params(self.mesh, params)
@@ -257,6 +272,10 @@ class Trainer:
         def loss_of(tr):
             merged = jax.tree.map(lambda t, f: f if t is None else t,
                                   tr, frozen, is_leaf=is_none)
+            if self._lora_dropout > 0.0:
+                rng = jax.random.fold_in(
+                    jax.random.key(self.tc.seed), state.step)
+                return self._loss_fn(merged, batch, rng)
             return self._loss_fn(merged, batch)
 
         loss, grads_tr = jax.value_and_grad(loss_of)(trainable)
@@ -323,6 +342,10 @@ class Trainer:
 
     def train(self, resume: bool = True):
         tc = self.tc
+        # `step` counts OPTIMIZER updates (HF Trainer semantics for
+        # logging_steps/save_steps/eval_steps/checkpoint-N); with gradient
+        # accumulation each step consumes `accum` micro-batches.
+        accum = max(tc.gradient_accumulation_steps, 1)
         start_step = self.maybe_resume() if resume else 0
         step = start_step
         seen = 0
@@ -337,7 +360,7 @@ class Trainer:
             for epoch in range(tc.num_train_epochs):
                 for batch in self.train_loader.epoch(epoch):
                     seen += 1
-                    if seen <= start_step:
+                    if seen <= start_step * accum:
                         continue  # fast-forward through resumed data
                     if prof_range and step == prof_range[0] and not profiling:
                         jax.profiler.start_trace(
@@ -347,6 +370,8 @@ class Trainer:
                     self.state, metrics = self._train_step(self.state, batch)
                     jax.block_until_ready(metrics["loss"])
                     timer.stop()
+                    if seen % accum:
+                        continue  # mid-accumulation micro-batch
                     step += 1
                     if profiling and step >= prof_range[1]:
                         jax.profiler.stop_trace()

@@ -466,6 +466,10 @@ def load_valley_checkpoint(path: str, vision_tower: Optional[str] = None,
 
     tokenizer, tokens = load_hf_tokenizer(path, model_max_length)
 
+    # the checkpoint records its trained vision tap (the reference reads
+    # it from model config at forward time, `valley_model.py`); honor it
+    # over the argument default so a -1-tap checkpoint loads correctly
+    select_layer = int(hf_cfg.get("mm_vision_select_layer", select_layer))
     vis_cfg = C.VisionConfig(select_layer=select_layer)
     cfg = C.ValleyConfig(text=text_cfg, vision=vis_cfg, tokens=tokens,
                          patch_pooling_method=pooling)
