@@ -5,10 +5,17 @@ decode tokens/sec/chip — using the jit-compiled engine on random bf16
 weights (math/shapes identical to real weights).  Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline"}.
 
+Benched config = the flagship serving mode: bf16 weights + int8 KV cache
+(per-slot-per-head absmax scales, `models/llama.py:_quantize_kv`; fidelity
+tests in tests/test_kv_quant.py) with 128-token fused decode chunks.
+Override with VALLEY_BENCH_KV=bf16 / VALLEY_BENCH_STEPS=n.
+
 ``vs_baseline``: the reference publishes no throughput numbers
 (BASELINE.md), so the ratio is computed against the HBM roofline for
-single-stream decode on this chip (model_bytes / HBM bandwidth) — i.e.
-fraction of speed-of-light; >1 is impossible, 1.0 is perfect.
+single-stream decode on this chip (bf16 model_bytes / HBM bandwidth) —
+i.e. fraction of weight-streaming speed-of-light.  The denominator counts
+decoder+head *weight* bytes only (unchanged by the KV-cache dtype); real
+decode additionally streams the KV cache, so 1.0 is unreachable.
 Set VALLEY_BENCH_SIZE=tiny to smoke-test on CPU.
 """
 
@@ -67,10 +74,13 @@ def main():
         params = quantize_llama_params(params)
     jax.block_until_ready(params)
 
+    cache_dtype = dtype if (size == "tiny"
+                            or os.environ.get("VALLEY_BENCH_KV") == "bf16"
+                            ) else jnp.int8
     engine = Engine(cfg, params, buckets=(seq_bucket,),
-                    max_new_tokens=decode_n, cache_dtype=dtype,
+                    max_new_tokens=decode_n, cache_dtype=cache_dtype,
                     steps_per_call=int(os.environ.get(
-                        "VALLEY_BENCH_STEPS", 32)))
+                        "VALLEY_BENCH_STEPS", 128)))
 
     tok = cfg.tokens
     p = cfg.num_patches

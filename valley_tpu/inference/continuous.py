@@ -125,11 +125,11 @@ class ContinuousEngine:
 
     def _insert_impl(self, cache, valid, token, slot, seq, row_cache,
                      row_valid, row_tok, row_len, b):
-        cache = llama.KVCache(
-            jax.lax.dynamic_update_slice(cache.k, row_cache.k,
-                                         (0, b, 0, 0, 0)),
-            jax.lax.dynamic_update_slice(cache.v, row_cache.v,
-                                         (0, b, 0, 0, 0)))
+        # copy the prefilled single-row cache (values + any int8 scales)
+        # into pool row b
+        cache = jax.tree.map(
+            lambda c, rc: jax.lax.dynamic_update_slice(
+                c, rc, (0, b) + (0,) * (c.ndim - 2)), cache, row_cache)
         valid = jax.lax.dynamic_update_slice(valid, row_valid, (b, 0))
         token = jax.lax.dynamic_update_slice(token, row_tok[None], (b,))
         slot = jax.lax.dynamic_update_slice(

@@ -132,9 +132,10 @@ class Engine:
         if self.mesh is not None:
             from valley_tpu.parallel.sharding import kv_cache_sharding
 
-            sh = kv_cache_sharding(self.mesh, b, cfg.text.kv_heads)
             cache = jax.tree.map(
-                lambda x: jax.lax.with_sharding_constraint(x, sh), cache)
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, kv_cache_sharding(self.mesh, b, cfg.text.kv_heads,
+                                         ndim=x.ndim)), cache)
         smax = cache.max_len
         kv_valid = (jnp.arange(smax)[None, :]
                     < prompt_len[:, None])               # (B, Smax)

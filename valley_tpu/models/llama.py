@@ -29,8 +29,15 @@ from valley_tpu.ops.rope import apply_rope, rope_cos_sin
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # (L, B, Smax, Hkv, D)
-    v: jnp.ndarray  # (L, B, Smax, Hkv, D)
+    """Stacked KV cache.  With ``dtype=int8`` (serving quantization) the
+    K/V values are stored int8 with per-(layer, row, slot, head) absmax
+    scales — halves the per-token cache HBM traffic of decode attention;
+    weights stay bf16.  ``k_scale``/``v_scale`` are None for float caches.
+    """
+    k: jnp.ndarray                          # (L, B, Smax, Hkv, D)
+    v: jnp.ndarray                          # (L, B, Smax, Hkv, D)
+    k_scale: Optional[jnp.ndarray] = None   # (L, B, Smax, Hkv) bf16
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def max_len(self) -> int:
@@ -41,7 +48,14 @@ def init_cache(cfg: TextConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> KVCache:
     shape = (cfg.num_hidden_layers, batch, max_len, cfg.kv_heads,
              cfg.head_dim)
-    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+    k = jnp.zeros(shape, dtype)
+    v = jnp.zeros(shape, dtype)
+    if dtype == jnp.int8:
+        # two distinct buffers — a shared one breaks donation (same buffer
+        # donated twice in one call)
+        return KVCache(k, v, jnp.zeros(shape[:-1], jnp.bfloat16),
+                       jnp.zeros(shape[:-1], jnp.bfloat16))
+    return KVCache(k, v)
 
 
 # ---------------------------------------------------------------------------
@@ -162,7 +176,40 @@ def _attn(lp, x, cfg: TextConfig, cos, sin, *, attn_mask=None,
     return proj(lp, "wo", out.reshape(b, s, h))
 
 
-def _attn_cached(lp, x, cfg: TextConfig, cos, sin, k_all, v_all, li, *,
+def _quantize_kv(x):
+    """(B, S, H, D) -> int8 values + per-(row, slot, head) absmax scale."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-6) / 127.0
+    q = jnp.round(xf / scale[..., None]).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
+
+
+def _cache_write(arr, val, li, cache_index):
+    """Write (B, S, ...) ``val`` into the stacked (L, B, Smax, ...) ``arr``
+    at layer ``li``, slot ``cache_index`` (scalar or per-row vector)."""
+    tail = (0,) * (arr.ndim - 3)
+    if getattr(cache_index, "ndim", 0) == 1:
+        for r in range(val.shape[0]):   # static batch; per-row slots
+            arr = jax.lax.dynamic_update_slice(
+                arr, val[r:r + 1][None], (li, r, cache_index[r]) + tail)
+        return arr
+    return jax.lax.dynamic_update_slice(
+        arr, val[None], (li, 0, cache_index) + tail)
+
+
+def _cache_layer(kc: KVCache, li, dtype):
+    """Read (and dequantize) layer ``li``'s (B, Smax, Hkv, D) K/V."""
+    ck = jax.lax.dynamic_index_in_dim(kc.k, li, keepdims=False)
+    cv = jax.lax.dynamic_index_in_dim(kc.v, li, keepdims=False)
+    if kc.k_scale is not None:
+        ks = jax.lax.dynamic_index_in_dim(kc.k_scale, li, keepdims=False)
+        vs = jax.lax.dynamic_index_in_dim(kc.v_scale, li, keepdims=False)
+        ck = ck.astype(dtype) * ks[..., None].astype(dtype)
+        cv = cv.astype(dtype) * vs[..., None].astype(dtype)
+    return ck, cv
+
+
+def _attn_cached(lp, x, cfg: TextConfig, cos, sin, kc: KVCache, li, *,
                  cache_index, kv_valid=None, cross_valid=None,
                  use_flash=None, lora_rng=None, lora_dropout: float = 0.0):
     """Cached self-attention: write this chunk's K/V into the FULL stacked
@@ -170,41 +217,49 @@ def _attn_cached(lp, x, cfg: TextConfig, cos, sin, k_all, v_all, li, *,
     attend.  The cache rides the layer-scan *carry*, so the write is a tiny
     in-place dynamic_update_slice — carrying it as scan xs/ys instead would
     re-stream the entire cache through HBM once per decode step (measured
-    ~2 ms/token on Valley-7B, ~10% of the decode budget).
+    ~2 ms/token on Valley-7B, ~10% of the decode budget).  int8 caches
+    quantize at write and dequantize at read (per-slot-per-head scales).
 
     ``cache_index``: scalar next-slot, or a (B,) vector of per-row slots
     (continuous batching — rows joined at different times).
-    Returns (out, k_all, v_all).
+    Returns (out, kc).
     """
     b, s, h = x.shape
     proj = functools.partial(_proj, lora_rng=lora_rng,
                              lora_dropout=lora_dropout)
     q, k, v = _qkv(lp, x, cfg, cos, sin, proj)
-    kq = k.astype(k_all.dtype)
-    vq = v.astype(v_all.dtype)
-    if getattr(cache_index, "ndim", 0) == 1:
-        for r in range(b):   # static batch; per-row slot offsets
-            k_all = jax.lax.dynamic_update_slice(
-                k_all, kq[r:r + 1][None], (li, r, cache_index[r], 0, 0))
-            v_all = jax.lax.dynamic_update_slice(
-                v_all, vq[r:r + 1][None], (li, r, cache_index[r], 0, 0))
+    if kc.k_scale is not None:
+        kq, ks = _quantize_kv(k)
+        vq, vs = _quantize_kv(v)
+        kc = kc._replace(
+            k_scale=_cache_write(kc.k_scale, ks, li, cache_index),
+            v_scale=_cache_write(kc.v_scale, vs, li, cache_index))
     else:
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, kq[None], (li, 0, cache_index, 0, 0))
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, vq[None], (li, 0, cache_index, 0, 0))
+        kq = k.astype(kc.k.dtype)
+        vq = v.astype(kc.v.dtype)
+    kc = kc._replace(k=_cache_write(kc.k, kq, li, cache_index),
+                     v=_cache_write(kc.v, vq, li, cache_index))
 
     if s == 1:
-        ck = jax.lax.dynamic_index_in_dim(k_all, li, keepdims=False)
-        cv = jax.lax.dynamic_index_in_dim(v_all, li, keepdims=False)
-        out = decode_attention(q, ck, cv, kv_valid)
+        ck = jax.lax.dynamic_index_in_dim(kc.k, li, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(kc.v, li, keepdims=False)
+        if kc.k_scale is not None:
+            # int8 cache: dequantize on the logits/probs side, not the
+            # (B, Smax, H, D) values — see decode_attention
+            out = decode_attention(
+                q, ck, cv, kv_valid,
+                k_scale=jax.lax.dynamic_index_in_dim(kc.k_scale, li,
+                                                     keepdims=False),
+                v_scale=jax.lax.dynamic_index_in_dim(kc.v_scale, li,
+                                                     keepdims=False))
+        else:
+            out = decode_attention(q, ck, cv, kv_valid)
     elif cross_valid is not None:
         # Session extension: a C-token chunk written at ``cache_index``
         # attends all previously-valid cache slots plus itself causally
         # (multi-turn KV reuse — the reference re-prefills the whole
         # conversation every turn instead).
-        ck = jax.lax.dynamic_index_in_dim(k_all, li, keepdims=False)
-        cv = jax.lax.dynamic_index_in_dim(v_all, li, keepdims=False)
+        ck, cv = _cache_layer(kc, li, q.dtype)
         smax = ck.shape[1]
         slots = jnp.arange(smax)
         in_chunk = jnp.logical_and(slots >= cache_index,
@@ -229,7 +284,7 @@ def _attn_cached(lp, x, cfg: TextConfig, cos, sin, k_all, v_all, li, *,
         out = mha_attention(q, k, v, bias, causal=True, use_flash=use_flash)
 
     out = proj(lp, "wo", out.reshape(b, s, h))
-    return out, k_all, v_all
+    return out, kc
 
 
 def _mlp(lp, x, lora_rng=None, lora_dropout: float = 0.0):
@@ -252,18 +307,18 @@ def _layer(lp, x, cfg, cos, sin, attn_mask, use_flash, lora_rng=None,
     return x
 
 
-def _layer_cached(lp, x, k_all, v_all, li, cfg, cos, sin, cache_index,
+def _layer_cached(lp, x, kc, li, cfg, cos, sin, cache_index,
                   kv_valid, cross_valid, use_flash, lora_rng=None,
                   lora_dropout=0.0):
-    attn_out, k_all, v_all = _attn_cached(
+    attn_out, kc = _attn_cached(
         lp, rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps), cfg, cos, sin,
-        k_all, v_all, li, cache_index=cache_index, kv_valid=kv_valid,
+        kc, li, cache_index=cache_index, kv_valid=kv_valid,
         cross_valid=cross_valid, use_flash=use_flash, lora_rng=lora_rng,
         lora_dropout=lora_dropout)
     x = x + attn_out
     x = x + _mlp(lp, rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps),
                  lora_rng=lora_rng, lora_dropout=lora_dropout)
-    return x, k_all, v_all
+    return x, kc
 
 
 # ---------------------------------------------------------------------------
@@ -321,17 +376,16 @@ def forward_hidden(params, cfg: TextConfig, inputs_embeds: jnp.ndarray,
         # Inference: the full stacked KV cache rides the scan CARRY and is
         # updated in place per layer — see _attn_cached for why not xs/ys.
         def scan_body(carry, layer_inputs):
-            x, k_all, v_all, li = carry
-            x, k_all, v_all = _layer_cached(
-                layer_inputs["lp"], x, k_all, v_all, li, cfg, cos, sin,
+            x, kc, li = carry
+            x, kc = _layer_cached(
+                layer_inputs["lp"], x, kc, li, cfg, cos, sin,
                 cache_index, kv_valid, cross_valid, use_flash,
                 lora_rng=layer_inputs.get("lora_key"),
                 lora_dropout=lora_dropout)
-            return (x, k_all, v_all, li + 1), None
+            return (x, kc, li + 1), None
 
-        (hidden, k_all, v_all, _), _ = jax.lax.scan(
-            scan_body, (inputs_embeds, cache.k, cache.v, jnp.int32(0)), xs)
-        new_cache = KVCache(k_all, v_all)
+        (hidden, new_cache, _), _ = jax.lax.scan(
+            scan_body, (inputs_embeds, cache, jnp.int32(0)), xs)
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     return hidden, new_cache

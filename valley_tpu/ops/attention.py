@@ -65,24 +65,41 @@ def mha_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.astype(q.dtype)
 
 
+def _head_scale(s: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """(B, Smax, Hkv) slot scales -> (B, H, 1, Smax) fp32 logit factors."""
+    s = jnp.swapaxes(s.astype(jnp.float32), 1, 2)       # (B, Hkv, Smax)
+    if n_rep != 1:
+        s = jnp.repeat(s, n_rep, axis=1)
+    return s[:, :, None, :]
+
+
 def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
                      v_cache: jnp.ndarray,
-                     length_mask: jnp.ndarray) -> jnp.ndarray:
+                     length_mask: jnp.ndarray,
+                     k_scale: Optional[jnp.ndarray] = None,
+                     v_scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Single-token decode attention against a fixed-size KV cache.
 
     q: (B, 1, H, D); k_cache/v_cache: (B, Smax, Hkv, D);
     length_mask: (B, Smax) bool, True for valid cache slots.
-    The whole op is one batched GEMV pair — XLA maps it well; a Pallas
-    paged-cache kernel can slot in behind this signature later.
+    With an int8 cache, ``k_scale``/``v_scale`` (B, Smax, Hkv) dequantize
+    on the cheap side of each contraction: K scales multiply the LOGITS
+    and V scales multiply the PROBS — (B, H, 1, Smax)-sized products —
+    instead of rescaling the (B, Smax, H, D) cache values elementwise.
+    The whole op is one batched GEMV pair — XLA maps it well.
     """
     n_rep = q.shape[2] // k_cache.shape[2]
-    k = _repeat_kv(k_cache, n_rep)
-    v = _repeat_kv(v_cache, n_rep)
+    k = _repeat_kv(k_cache.astype(q.dtype), n_rep)
+    v = _repeat_kv(v_cache.astype(q.dtype), n_rep)
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
+    if k_scale is not None:
+        logits = logits * _head_scale(k_scale, n_rep)
     logits = jnp.where(length_mask[:, None, None, :], logits, -1e9)
     probs = jax.nn.softmax(logits, axis=-1)
+    if v_scale is not None:
+        probs = probs * _head_scale(v_scale, n_rep)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
     return out.astype(q.dtype)

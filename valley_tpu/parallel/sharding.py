@@ -115,16 +115,19 @@ def shard_params(mesh: Mesh, params) -> Any:
     return jax.device_put(params, param_shardings(mesh, params))
 
 
-def kv_cache_sharding(mesh: Mesh, batch: int,
-                      kv_heads: int) -> NamedSharding:
+def kv_cache_sharding(mesh: Mesh, batch: int, kv_heads: int,
+                      ndim: int = 5) -> NamedSharding:
     """KV cache (L, B, S, Hkv, D): batch over (data, fsdp) and kv heads
     over model — decode attention then needs no resharding.  Axes that
-    don't divide their dim (e.g. batch 1 with fsdp > 1) are dropped."""
+    don't divide their dim (e.g. batch 1 with fsdp > 1) are dropped.
+    ``ndim=4`` gives the matching spec for (L, B, S, Hkv) int8-cache
+    scale arrays."""
     dp = int(mesh.shape["data"]) * int(mesh.shape["fsdp"])
     batch_axes = ("data", "fsdp") if dp > 1 and batch % dp == 0 else None
     model_axis = "model" if kv_heads % int(mesh.shape["model"]) == 0 \
         else None
-    return NamedSharding(mesh, P(None, batch_axes, None, model_axis, None))
+    parts = (None, batch_axes, None, model_axis, None)[:ndim]
+    return NamedSharding(mesh, P(*parts))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
