@@ -132,6 +132,49 @@ def test_continuous_warmup(engine):
     assert len(got) == 3
 
 
+def test_mixed_bucket_admission_token_identical(engine):
+    """A short prompt admitted through a SMALL prefill bucket mid-decode
+    must produce the same tokens as a solo engine run, without perturbing
+    the long-running row (non-blocking admission + per-request buckets)."""
+    cfg = engine.cfg
+    import valley_tpu.models.valley as valley_mod
+
+    multi = Engine(cfg, engine.params, buckets=(16, 64), max_new_tokens=32,
+                   cache_dtype=jnp.float32, use_flash=False,
+                   steps_per_call=2)
+    c = ContinuousEngine(multi, rows=2, bucket=64, extra_slots=64,
+                         steps_per_call=2)
+    assert c._admission_buckets == (16, 64)
+
+    long_p = list(range(10, 50))        # bucket 64
+    short_p = list(range(50, 62))       # 12 tokens -> bucket 16
+    expect_long = _solo(multi, long_p, 16)
+    expect_short = _solo(multi, short_p, 5)
+
+    qa = c.submit(long_p, max_new_tokens=16, eos_id=-1)
+    got_long = [qa.get()]
+    time.sleep(0.4)                     # long row is mid-decode
+    qb = c.submit(short_p, max_new_tokens=5, eos_id=-1)
+    got_short = _collect(qb)
+    got_long += _collect(qa)
+    assert got_long == expect_long, (got_long, expect_long)
+    assert got_short == expect_short, (got_short, expect_short)
+
+
+def test_prompt_pad_compaction_extends_budget(engine):
+    """Decode slots start at len(prompt), so a row supports smax - len new
+    tokens — more than the old bucket-aligned budget."""
+    c = ContinuousEngine(engine, rows=1, bucket=64, extra_slots=8,
+                         steps_per_call=2)   # smax = 72
+    p = list(range(10, 20))                  # len 10
+    # old scheme capped at extra_slots=8 past the bucket; now 72-10=62
+    outq = c.submit(p, max_new_tokens=40, eos_id=-1)
+    got = _collect(outq)
+    assert len(got) == 40
+    expect = _solo(engine, p, 20)
+    assert got[:20] == expect
+
+
 def test_bad_request_fails_without_killing_scheduler(engine, cont):
     """A prompt longer than the prefill bucket must error on its own queue
     (not hang) and leave the scheduler serving later requests."""

@@ -22,12 +22,18 @@ def params(cfg):
 
 
 def test_quantize_tensor_roundtrip():
+    # (out, in) layer layout: per-out-channel scale (out,)
     w = jax.random.normal(jax.random.key(1), (64, 48)) * 0.1
     q, scale = quantize_tensor(w)
-    assert q.dtype == jnp.int8 and scale.shape == (1, 48)
-    recon = q.astype(jnp.float32) * scale.astype(jnp.float32)
+    assert q.dtype == jnp.int8 and scale.shape == (64,)
+    recon = q.astype(jnp.float32) * scale.astype(jnp.float32)[:, None]
     rel = float(jnp.abs(recon - w).max() / jnp.abs(w).max())
     assert rel < 0.01  # per-channel int8: <1% of the channel max
+    # lm_head keeps (in, out): scale (1, out)
+    q2, s2 = quantize_tensor(w, contract_axis=-2)
+    assert s2.shape == (1, 48)
+    recon2 = q2.astype(jnp.float32) * s2.astype(jnp.float32)
+    assert float(jnp.abs(recon2 - w).max() / jnp.abs(w).max()) < 0.01
 
 
 def test_quantize_stacked_matches_per_layer():

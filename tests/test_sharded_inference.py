@@ -41,7 +41,7 @@ def test_tp_inference_matches_single_device(cfg, params, mesh_shape):
                             mesh=mesh)
     wq = sharded_engine.params["llama"]["layers"]["wq"]
     assert wq.sharding.spec == jax.sharding.PartitionSpec(
-        None, "fsdp", "model")
+        None, "model", "fsdp")
     got = _gen(sharded_engine, prompt)
     assert got == expect, (got, expect)
 

@@ -74,7 +74,7 @@ def test_mesh_and_param_sharding(params):
     sharded = shard_params(mesh, params)
     wq = sharded["llama"]["layers"]["wq"]
     assert wq.sharding.spec == jax.sharding.PartitionSpec(
-        None, "fsdp", "model")
+        None, "model", "fsdp")
     # every param leaf got a spec
     specs = param_specs(params)
     assert jax.tree.structure(specs, is_leaf=lambda x: isinstance(

@@ -9,14 +9,23 @@ and throughput stays at batch-B decode whenever there is load.
 Design notes:
 * cache *slots* are decoupled from token *positions*: every row writes its
   step-i KV at its own ``write_slot[row]`` with rotary position
-  ``seq_len[row]`` (per-row offsets via the vmap'd cache update in
-  `llama._attn`), so rows that joined at different times coexist in one
-  (L, B, Smax, H, D) buffer;
+  ``seq_len[row]`` (per-row offsets via the per-row cache update in
+  `llama._attn_cached`), so rows that joined at different times coexist in
+  one (L, B, Smax, H, D) buffer;
 * inactive rows decode garbage into their last slot with everything
   masked; their output is discarded host-side and their state is fully
   rewritten on insert;
 * per-row temperature/top_p ride as (B,) traced arrays — one compiled
-  executable regardless of the request mix.
+  executable regardless of the request mix;
+* **non-blocking admission**: a dedicated prefill thread pulls requests,
+  prefills them at their OWN prompt bucket (smallest engine bucket that
+  fits — a short prompt never pays the big-bucket prefill), and parks the
+  ready row state on a bounded queue; the decode loop only splices ready
+  rows in at chunk boundaries, so admission never stalls active rows on
+  host-side prefill work;
+* **prompt-pad compaction**: decode writes start at slot ``len(prompt)``
+  (not at the prefill bucket), so prompt padding slots are reused by
+  generated tokens and a row supports ``smax - len`` new tokens.
 """
 
 from __future__ import annotations
@@ -66,6 +75,7 @@ class ContinuousEngine:
         self.smax = self.bucket + extra
         self.steps = steps_per_call or engine.steps_per_call
         self._key = jax.random.key(seed)
+        self._key_lock = threading.Lock()  # split from 2 threads
 
         self._active: List[Optional[_Request]] = [None] * rows
         self._reset_pool()
@@ -76,8 +86,22 @@ class ContinuousEngine:
         self._insert = jax.jit(self._insert_impl,
                                donate_argnames=("cache", "valid"))
 
+        # admission buckets: engine prefill buckets that fit in the pool —
+        # a request is prefilled at the smallest one that holds its prompt
+        self._admission_buckets = tuple(
+            b for b in engine.buckets if b <= self.bucket) or (self.bucket,)
+        if self.bucket not in self._admission_buckets:
+            self._admission_buckets = self._admission_buckets + (
+                self.bucket,)
+
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # bounded: each parked item holds a full prefilled row cache on
+        # device, so cap how many can pile up ahead of free rows
+        self._ready: "queue.Queue[tuple]" = queue.Queue(maxsize=2)
         self._wake = threading.Event()
+        self._prefill_thread = threading.Thread(target=self._prefill_loop,
+                                                daemon=True)
+        self._prefill_thread.start()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -132,8 +156,9 @@ class ContinuousEngine:
                 c, rc, (0, b) + (0,) * (c.ndim - 2)), cache, row_cache)
         valid = jax.lax.dynamic_update_slice(valid, row_valid, (b, 0))
         token = jax.lax.dynamic_update_slice(token, row_tok[None], (b,))
-        slot = jax.lax.dynamic_update_slice(
-            slot, jnp.asarray([self.bucket], jnp.int32), (b,))
+        # decode writes start right after the prompt (NOT at the prefill
+        # bucket): prompt-pad slots get reused by generated tokens
+        slot = jax.lax.dynamic_update_slice(slot, row_len[None], (b,))
         seq = jax.lax.dynamic_update_slice(seq, row_len[None], (b,))
         return cache, valid, token, slot, seq
 
@@ -151,48 +176,53 @@ class ContinuousEngine:
     drain = staticmethod(lambda outq: _drain(outq))
 
     def warmup(self, frames: int = 0) -> None:
-        """Compile the prefill + pooled decode executables up front."""
+        """Compile every admission-bucket prefill + the pooled decode."""
         images = None
         if frames:
             v = self.engine.cfg.vision
             images = np.zeros((1, frames, 3, v.image_size, v.image_size),
                               np.float32)
-        outq = self.submit(list(range(2, 2 + self.bucket // 2)),
-                           images=images,
-                           max_new_tokens=self.steps + 1, eos_id=-1)
-        for _ in _drain(outq):
-            pass
+        # a length-b prompt lands exactly in admission bucket b
+        queues = [self.submit(list(range(2, 2 + b)), images=images,
+                              max_new_tokens=self.steps + 1, eos_id=-1)
+                  for b in self._admission_buckets]
+        for outq in queues:
+            for _ in _drain(outq):
+                pass
 
-    # -- scheduler loop ------------------------------------------------------
+    # -- prefill worker (admission never blocks the decode loop) ----------
 
-    def _admit(self):
-        eng = self.engine
-        for b in range(self.rows):
-            if self._active[b] is not None:
-                continue
+    def _prefill_loop(self):
+        while True:
+            req = self._queue.get()
             try:
-                req = self._queue.get_nowait()
-            except queue.Empty:
-                return
-            try:
-                self._admit_one(b, req)
+                item = self._prefill_one(req)
             except Exception as e:  # noqa: BLE001 — deliver, don't die
-                logger.exception("admission failed for request")
+                logger.exception("prefill failed for request")
                 req.out.put(e)
                 req.out.put(_DONE)
-                self._active[b] = None
-                self._temps[b] = 0.0
+                continue
+            self._ready.put(item)   # blocks when 2 rows already parked
+            self._wake.set()
 
-    def _admit_one(self, b: int, req: _Request):
+    def _prefill_one(self, req: _Request):
         eng = self.engine
-        if len(req.input_ids) > self.bucket:
+        n = len(req.input_ids)
+        if n > self.bucket:
             raise ValueError(
-                f"prompt of {len(req.input_ids)} tokens exceeds the "
-                f"{self.bucket}-token prefill bucket")
-        self._key, sub = jax.random.split(self._key)
-        lens = np.asarray([len(req.input_ids)], np.int32)
-        ids = np.zeros((1, self.bucket), np.int32)
-        ids[0, :lens[0]] = req.input_ids
+                f"prompt of {n} tokens exceeds the "
+                f"{self.bucket}-token admission bucket")
+        if n >= self.smax:
+            raise ValueError(
+                f"prompt of {n} tokens leaves no decode slots "
+                f"(pool smax={self.smax})")
+        # smallest engine bucket that fits: short prompts prefill cheap
+        bucket = next(b for b in self._admission_buckets if n <= b)
+        with self._key_lock:
+            self._key, sub = jax.random.split(self._key)
+        lens = np.asarray([n], np.int32)
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :n] = req.input_ids
         has_images = req.images is not None
         if has_images:
             images = jnp.asarray(np.asarray(
@@ -203,21 +233,36 @@ class ContinuousEngine:
                                jnp.bfloat16)
         tok, _lg, row_cache, row_valid = eng._prefill(
             eng.params, jnp.asarray(ids), images, jnp.asarray(lens),
-            sub, req.temperature, req.top_p, bucket=self.bucket,
+            sub, req.temperature, req.top_p, bucket=bucket,
             cache_len=self.smax, do_sample=req.temperature >= 1e-4,
             has_images=has_images)
-        (self._cache, self._valid, self._token, self._slot,
-         self._seq) = self._insert(
-            self._cache, self._valid, self._token, self._slot,
-            self._seq, row_cache, row_valid.astype(bool), tok[0],
-            jnp.asarray(lens[0]), jnp.int32(b))
-        self._active[b] = req
-        self._temps[b] = req.temperature
-        self._top_ps[b] = req.top_p
-        # the prefill-sampled token is the first output token
-        req.out.put(int(np.asarray(tok)[0]))
-        req.emitted = 1
-        self._finish_if_done(b, int(np.asarray(tok)[0]))
+        return req, tok, row_cache, row_valid, n
+
+    # -- scheduler loop ----------------------------------------------------
+
+    def _admit(self):
+        for b in range(self.rows):
+            if self._active[b] is not None:
+                continue
+            try:
+                req, tok, row_cache, row_valid, n = self._ready.get_nowait()
+            except queue.Empty:
+                return
+            (self._cache, self._valid, self._token, self._slot,
+             self._seq) = self._insert(
+                self._cache, self._valid, self._token, self._slot,
+                self._seq, row_cache, row_valid.astype(bool), tok[0],
+                jnp.asarray(np.int32(n)), jnp.int32(b))
+            self._active[b] = req
+            self._temps[b] = req.temperature
+            self._top_ps[b] = req.top_p
+            # cap generation to the slots actually available after the
+            # (compacted) prompt
+            req.max_new_tokens = min(req.max_new_tokens, self.smax - n)
+            # the prefill-sampled token is the first output token
+            req.out.put(int(np.asarray(tok)[0]))
+            req.emitted = 1
+            self._finish_if_done(b, int(np.asarray(tok)[0]))
 
     def _finish_if_done(self, b: int, tok: int):
         req = self._active[b]
@@ -231,14 +276,15 @@ class ContinuousEngine:
     def _loop(self):
         while True:
             if all(r is None for r in self._active) and \
-                    self._queue.empty():
+                    self._ready.empty():
                 self._wake.wait(timeout=1.0)
                 self._wake.clear()
                 continue
             self._admit()
             if all(r is None for r in self._active):
                 continue
-            self._key, sub = jax.random.split(self._key)
+            with self._key_lock:
+                self._key, sub = jax.random.split(self._key)
             try:
                 toks, self._cache, self._valid, self._token, self._slot, \
                     self._seq = self._decode(

@@ -17,7 +17,6 @@ TPU-native re-design of the decoder the reference inherits from HF
 from __future__ import annotations
 
 import functools
-import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -72,18 +71,23 @@ def init_params(cfg: TextConfig, key: jax.Array, dtype=jnp.bfloat16):
     h, f = cfg.hidden_size, cfg.intermediate_size
     kv = cfg.kv_heads * cfg.head_dim
     L = cfg.num_hidden_layers
+    # Layer projections are stored (L, out, in) — the torch nn.Linear
+    # layout.  XLA's layout assignment prefers contracting-dim-minor
+    # weights for batched (B > 1) decode GEMMs; storing (in, out) made it
+    # materialize ~1 GB transposed copies of wq/wk/wv per executable,
+    # which OOM'd a 16 GB chip on Valley-7B batched serving.
     return {
         "embed": dense(next(keys), h, (cfg.vocab_size, h)),
         "layers": {
             "attn_norm": jnp.ones((L, h), dtype),
             "wq": dense(next(keys), h, (L, h, h)),
-            "wk": dense(next(keys), h, (L, h, kv)),
-            "wv": dense(next(keys), h, (L, h, kv)),
+            "wk": dense(next(keys), h, (L, kv, h)),
+            "wv": dense(next(keys), h, (L, kv, h)),
             "wo": dense(next(keys), h, (L, h, h)),
             "mlp_norm": jnp.ones((L, h), dtype),
-            "w_gate": dense(next(keys), h, (L, h, f)),
-            "w_up": dense(next(keys), h, (L, h, f)),
-            "w_down": dense(next(keys), f, (L, f, h)),
+            "w_gate": dense(next(keys), h, (L, f, h)),
+            "w_up": dense(next(keys), h, (L, f, h)),
+            "w_down": dense(next(keys), f, (L, h, f)),
         },
         "final_norm": jnp.ones((h,), dtype),
         "lm_head": dense(next(keys), h, (h, cfg.vocab_size)),
@@ -114,31 +118,19 @@ def _proj(lp, name: str, x: jnp.ndarray, lora_rng=None,
     ``lora_rng`` set, dropout is applied to the adapter-branch input during
     training (peft ``lora_dropout=0.05``, reference `train.py:156`).  int8
     weights (serving quantization, `ops/quant.py`) dequantize into the
-    matmul."""
+    matmul.  ``W`` is stored (out, in) — torch nn.Linear layout, see
+    init_params."""
     w = lp[name]
     if w.dtype == jnp.int8:
+        # per-out-channel scale (out,); XLA's fused int8 dequant-dot beats
+        # the Pallas tile-streaming matvec (78 vs 58 tok/s measured), so
+        # there is no kernel dispatch here.
         scale = lp[name + "_scale"]
-        lead = x.shape[:-1]
-        n_rows = 1
-        for d in lead:
-            n_rows *= d
-        # NOTE: measured on v5e, XLA's fused int8 dequant-dot beats the
-        # Pallas tile-streaming matvec (78 vs 58 tok/s end-to-end), so the
-        # kernel stays opt-in for experimentation.
-        if (os.environ.get("VALLEY_INT8_KERNEL", "0") == "1"
-                and jax.default_backend() == "tpu" and n_rows <= 8
-                and w.shape[-1] % 128 == 0):
-            from valley_tpu.ops.quant import int8_matvec
-
-            y = int8_matvec(x.reshape(n_rows, x.shape[-1]), w,
-                            scale.reshape(1, -1))
-            out = y.reshape(lead + (w.shape[-1],)).astype(x.dtype)
-        else:
-            out = jnp.einsum("...i,io->...o", x, w.astype(x.dtype),
-                             preferred_element_type=jnp.float32)
-            out = (out * scale.astype(jnp.float32)).astype(x.dtype)
+        out = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
+        out = (out * scale.astype(jnp.float32)).astype(x.dtype)
     else:
-        out = x @ w
+        out = jnp.einsum("...i,oi->...o", x, w)
     a = lp.get(name + "_lora_a")
     if a is not None:
         xl = x
@@ -307,6 +299,83 @@ def _layer(lp, x, cfg, cos, sin, attn_mask, use_flash, lora_rng=None,
     return x
 
 
+def _attn_cached_sliced(lp, x, cfg: TextConfig, cos, sin, ck, cv, ks, vs, *,
+                        cache_index, kv_valid=None, cross_valid=None,
+                        use_flash=None, lora_rng=None,
+                        lora_dropout: float = 0.0):
+    """Cached attention on per-layer cache slices (B, Smax, Hkv, D) carried
+    as scan xs/ys — the batched (B > 1) formulation.  The carry-style
+    full-cache path (`_attn_cached`) makes XLA materialize ~1 GB transposed
+    copies of wq/wk/wv when B > 1 (layout assignment flips for batched
+    GEMMs), which OOMs a 16 GB chip on Valley-7B; the xs/ys form costs one
+    extra cache write-back per step but compiles to the natural layouts.
+    ``ks``/``vs`` are the (B, Smax, Hkv) int8 scales or None.
+    Returns (out, ck, cv, ks, vs)."""
+    b, s, h = x.shape
+    proj = functools.partial(_proj, lora_rng=lora_rng,
+                             lora_dropout=lora_dropout)
+    q, k, v = _qkv(lp, x, cfg, cos, sin, proj)
+    if ks is not None:
+        kq, k_sc = _quantize_kv(k)
+        vq, v_sc = _quantize_kv(v)
+    else:
+        kq, vq = k.astype(ck.dtype), v.astype(cv.dtype)
+        k_sc = v_sc = None
+
+    if getattr(cache_index, "ndim", 0) == 1:
+        # per-row write offsets (continuous batching: rows joined the
+        # batch at different times, so their next free slot differs)
+        def vwrite(c, new, idx):
+            def one(cr, nr, i):
+                return jax.lax.dynamic_update_slice(
+                    cr, nr, (i,) + (0,) * (cr.ndim - 1))
+            return jax.vmap(one)(c, new, idx)
+
+        ck = vwrite(ck, kq, cache_index)
+        cv = vwrite(cv, vq, cache_index)
+        if ks is not None:
+            ks = vwrite(ks, k_sc, cache_index)
+            vs = vwrite(vs, v_sc, cache_index)
+    else:
+        ck = jax.lax.dynamic_update_slice(ck, kq, (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, vq, (0, cache_index, 0, 0))
+        if ks is not None:
+            ks = jax.lax.dynamic_update_slice(ks, k_sc,
+                                              (0, cache_index, 0))
+            vs = jax.lax.dynamic_update_slice(vs, v_sc,
+                                              (0, cache_index, 0))
+
+    if s == 1:
+        out = decode_attention(q, ck, cv, kv_valid, k_scale=ks, v_scale=vs)
+    elif cross_valid is not None:
+        # Session extension (see _attn_cached)
+        ckd, cvd = ck, cv
+        if ks is not None:
+            ckd = ck.astype(q.dtype) * ks[..., None].astype(q.dtype)
+            cvd = cv.astype(q.dtype) * vs[..., None].astype(q.dtype)
+        smax = ck.shape[1]
+        slots = jnp.arange(smax)
+        in_chunk = jnp.logical_and(slots >= cache_index,
+                                   slots < cache_index + s)
+        chunk_causal = (slots[None, :] - cache_index
+                        <= jnp.arange(s)[:, None])
+        mask = jnp.logical_or(
+            cross_valid[:, None, :],
+            jnp.logical_and(in_chunk[None, :], chunk_causal)[None])
+        bias = jnp.where(mask[:, None], 0.0, -1e9)
+        out = mha_attention(q, ckd, cvd, bias, use_flash=False)
+    else:
+        # Prefill: attention runs within the chunk only (see _attn_cached)
+        chunk_valid = kv_valid[:, :s] if kv_valid is not None else None
+        bias = None
+        if chunk_valid is not None:
+            bias = jnp.where(chunk_valid[:, None, None, :], 0.0, -1e9)
+        out = mha_attention(q, k, v, bias, causal=True, use_flash=use_flash)
+
+    out = proj(lp, "wo", out.reshape(b, s, h))
+    return out, ck, cv, ks, vs
+
+
 def _layer_cached(lp, x, kc, li, cfg, cos, sin, cache_index,
                   kv_valid, cross_valid, use_flash, lora_rng=None,
                   lora_dropout=0.0):
@@ -372,9 +441,11 @@ def forward_hidden(params, cfg: TextConfig, inputs_embeds: jnp.ndarray,
                 scan_body, policy=jax.checkpoint_policies.nothing_saveable)
         hidden, _ = jax.lax.scan(scan_body, inputs_embeds, xs)
         new_cache = None
-    else:
-        # Inference: the full stacked KV cache rides the scan CARRY and is
-        # updated in place per layer — see _attn_cached for why not xs/ys.
+    elif b == 1:
+        # Single-stream inference: the full stacked KV cache rides the
+        # scan CARRY and is updated in place per layer — carrying it as
+        # scan xs/ys would re-stream the entire cache through HBM once
+        # per decode step (measured ~2 ms/token on Valley-7B).
         def scan_body(carry, layer_inputs):
             x, kc, li = carry
             x, kc = _layer_cached(
@@ -386,6 +457,40 @@ def forward_hidden(params, cfg: TextConfig, inputs_embeds: jnp.ndarray,
 
         (hidden, new_cache, _), _ = jax.lax.scan(
             scan_body, (inputs_embeds, cache, jnp.int32(0)), xs)
+    else:
+        # Batched inference (engine batch > 1 / continuous-batching rows):
+        # per-layer cache slices as scan xs/ys — see _attn_cached_sliced
+        # for why the carry form can't be used here.
+        quant = cache.k_scale is not None
+        xs = dict(xs, ck=cache.k, cv=cache.v)
+        if quant:
+            xs["ks"], xs["vs"] = cache.k_scale, cache.v_scale
+
+        def scan_body(x, layer_inputs):
+            ao, ck, cv, ks, vs = _attn_cached_sliced(
+                layer_inputs["lp"],
+                rms_norm(x, layer_inputs["lp"]["attn_norm"],
+                         cfg.rms_norm_eps),
+                cfg, cos, sin, layer_inputs["ck"], layer_inputs["cv"],
+                layer_inputs.get("ks"), layer_inputs.get("vs"),
+                cache_index=cache_index, kv_valid=kv_valid,
+                cross_valid=cross_valid, use_flash=use_flash,
+                lora_rng=layer_inputs.get("lora_key"),
+                lora_dropout=lora_dropout)
+            x = x + ao
+            x = x + _mlp(layer_inputs["lp"],
+                         rms_norm(x, layer_inputs["lp"]["mlp_norm"],
+                                  cfg.rms_norm_eps),
+                         lora_rng=layer_inputs.get("lora_key"),
+                         lora_dropout=lora_dropout)
+            ys = {"ck": ck, "cv": cv}
+            if ks is not None:
+                ys["ks"], ys["vs"] = ks, vs
+            return x, ys
+
+        hidden, ys = jax.lax.scan(scan_body, inputs_embeds, xs)
+        new_cache = KVCache(ys["ck"], ys["cv"], ys.get("ks"),
+                            ys.get("vs"))
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     return hidden, new_cache

@@ -21,29 +21,35 @@ import jax.numpy as jnp
 QUANT_TARGETS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def _quantize_one(w: jnp.ndarray):
+def _quantize_one(w: jnp.ndarray, contract_axis: int = -1):
+    """Symmetric per-out-channel int8 over the contraction axis.
+
+    Layer weights are stored (out, in) (see `llama.init_params`), so the
+    contraction axis is -1 and the scale is (out,); the lm_head stays
+    (in, out), contraction axis -2, scale (1, out)."""
     # bf16 math: int8 magnitudes are exactly representable, no fp32 copy
-    amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=contract_axis,
+                   keepdims=True).astype(jnp.float32)
     scale = jnp.where(amax > 0, amax / 127.0, 1.0).astype(w.dtype)
     q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    if contract_axis == -1:
+        scale = scale[..., 0]            # (out,)
     return q, scale.astype(jnp.bfloat16)
 
 
 @jax.jit
 def _quantize_stacked(w: jnp.ndarray):
-    """(L, in, out) quantized one layer at a time (lax.map) so the
+    """(L, out, in) quantized one layer at a time (lax.map) so the
     transient is one layer, not the whole 2.9-6 GB stack."""
     return jax.lax.map(_quantize_one, w)
 
 
-def quantize_tensor(w: jnp.ndarray, axis: int = -2):
-    """Symmetric int8 over the contraction axis.
-
-    w: (..., in, out) — scale has shape (..., 1, out) so that
-    ``x @ w ≈ (x @ w_q) * scale``."""
-    if w.ndim == 3:
+def quantize_tensor(w: jnp.ndarray, contract_axis: int = -1):
+    """Symmetric int8 over the contraction axis (default: (out, in)
+    layout, scale (out,))."""
+    if w.ndim == 3 and contract_axis == -1:
         return _quantize_stacked(w)
-    return _quantize_one(w)
+    return _quantize_one(w, contract_axis)
 
 
 def quantize_llama_params(params, targets: Sequence[str] = QUANT_TARGETS,
@@ -64,7 +70,7 @@ def quantize_llama_params(params, targets: Sequence[str] = QUANT_TARGETS,
         layers[name] = q                 # drop the bf16 stack before the
         layers[name + "_scale"] = scale  # next tensor quantizes
     if quantize_lm_head and llama_p["lm_head"].dtype != jnp.int8:
-        q, scale = quantize_tensor(llama_p["lm_head"])
+        q, scale = quantize_tensor(llama_p["lm_head"], contract_axis=-2)
         jax.block_until_ready(q)
         llama_p["lm_head"] = q
         llama_p["lm_head_scale"] = scale

@@ -16,17 +16,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def _llama_layer_specs():
-    # stacked weights: leading axis = layer (never sharded)
+    # stacked weights: leading axis = layer (never sharded).  Weights are
+    # stored (L, out, in) — torch Linear layout (see llama.init_params) —
+    # so tensor parallelism puts the head/ffn (out) dim of q/k/v/gate/up
+    # on 'model' at axis 1, and their 'in' dim on 'fsdp' at axis 2; o/down
+    # contract over the model-sharded dim (axis 2).
     return {
         "attn_norm": P(),
-        "wq": P(None, "fsdp", "model"),
-        "wk": P(None, "fsdp", "model"),
-        "wv": P(None, "fsdp", "model"),
-        "wo": P(None, "model", "fsdp"),
+        "wq": P(None, "model", "fsdp"),
+        "wk": P(None, "model", "fsdp"),
+        "wv": P(None, "model", "fsdp"),
+        "wo": P(None, "fsdp", "model"),
         "mlp_norm": P(),
-        "w_gate": P(None, "fsdp", "model"),
-        "w_up": P(None, "fsdp", "model"),
-        "w_down": P(None, "model", "fsdp"),
+        "w_gate": P(None, "model", "fsdp"),
+        "w_up": P(None, "model", "fsdp"),
+        "w_down": P(None, "fsdp", "model"),
     }
 
 
@@ -57,10 +61,12 @@ def _lora_spec(key: str) -> P:
         return P(None, "fsdp", None)
     if key.endswith("_lora_b"):
         return P(None, None, "model")
+    if key == "lora_scale":
+        return P()                       # (L, 1, 1) alpha/r scalar
     if key.endswith("_scale"):
-        # int8 quantization scales: follow the output (model) axis of
-        # their (L, 1, out) weight
-        return P(None, None, "model")
+        # int8 quantization scales (L, out): follow the output (model)
+        # axis of their (L, out, in) weight
+        return P(None, "model")
     return P()
 
 

@@ -34,8 +34,8 @@ def add_lora(params, key: jax.Array, r: int = 16, alpha: int = 32,
     n_layers = layers["wq"].shape[0]
     keys = jax.random.split(key, len(targets))
     for tk, name in zip(keys, targets):
-        w = layers[name]
-        _, fan_in, fan_out = w.shape
+        w = layers[name]                 # (L, out, in) — torch layout
+        _, fan_out, fan_in = w.shape
         a = (jax.random.normal(tk, (n_layers, fan_in, r), jnp.float32)
              * (fan_in ** -0.5)).astype(dtype)
         b = jnp.zeros((n_layers, r, fan_out), dtype)
@@ -62,7 +62,8 @@ def merge_lora(params):
         a = layers.get(k + "_lora_a")
         if a is not None:
             b = layers[k + "_lora_b"]
-            delta = jnp.einsum("lhr,lrk->lhk", a.astype(jnp.float32),
+            # delta in the base weights' (L, out, in) layout
+            delta = jnp.einsum("lir,lro->loi", a.astype(jnp.float32),
                                b.astype(jnp.float32)) * scale[:, 0, 0][:, None, None]
             v = (v.astype(jnp.float32) + delta).astype(v.dtype)
         merged[k] = v

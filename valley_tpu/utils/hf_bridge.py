@@ -75,18 +75,27 @@ def convert_llama(sd: Dict[str, Any], cfg: C.TextConfig,
             mats.append(w.T if transpose else w)
         return jnp.asarray(np.stack(mats), dtype)
 
+    # layer projections keep the torch nn.Linear (out, in) layout verbatim
+    # (see llama.init_params)
     layers = {
         "attn_norm": stack("model.layers.{}.input_layernorm.weight",
                            transpose=False),
-        "wq": stack("model.layers.{}.self_attn.q_proj.weight"),
-        "wk": stack("model.layers.{}.self_attn.k_proj.weight"),
-        "wv": stack("model.layers.{}.self_attn.v_proj.weight"),
-        "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
+        "wq": stack("model.layers.{}.self_attn.q_proj.weight",
+                    transpose=False),
+        "wk": stack("model.layers.{}.self_attn.k_proj.weight",
+                    transpose=False),
+        "wv": stack("model.layers.{}.self_attn.v_proj.weight",
+                    transpose=False),
+        "wo": stack("model.layers.{}.self_attn.o_proj.weight",
+                    transpose=False),
         "mlp_norm": stack("model.layers.{}.post_attention_layernorm.weight",
                           transpose=False),
-        "w_gate": stack("model.layers.{}.mlp.gate_proj.weight"),
-        "w_up": stack("model.layers.{}.mlp.up_proj.weight"),
-        "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
+        "w_gate": stack("model.layers.{}.mlp.gate_proj.weight",
+                        transpose=False),
+        "w_up": stack("model.layers.{}.mlp.up_proj.weight",
+                      transpose=False),
+        "w_down": stack("model.layers.{}.mlp.down_proj.weight",
+                        transpose=False),
     }
     return {
         "embed": _vec(sd, "model.embed_tokens.weight", dtype),
@@ -103,14 +112,14 @@ def export_llama(params, prefix: str = "") -> Dict[str, np.ndarray]:
     L = lay["wq"].shape[0]
     name_map = {
         "attn_norm": ("input_layernorm.weight", False),
-        "wq": ("self_attn.q_proj.weight", True),
-        "wk": ("self_attn.k_proj.weight", True),
-        "wv": ("self_attn.v_proj.weight", True),
-        "wo": ("self_attn.o_proj.weight", True),
+        "wq": ("self_attn.q_proj.weight", False),
+        "wk": ("self_attn.k_proj.weight", False),
+        "wv": ("self_attn.v_proj.weight", False),
+        "wo": ("self_attn.o_proj.weight", False),
         "mlp_norm": ("post_attention_layernorm.weight", False),
-        "w_gate": ("mlp.gate_proj.weight", True),
-        "w_up": ("mlp.up_proj.weight", True),
-        "w_down": ("mlp.down_proj.weight", True),
+        "w_gate": ("mlp.gate_proj.weight", False),
+        "w_up": ("mlp.up_proj.weight", False),
+        "w_down": ("mlp.down_proj.weight", False),
     }
     for ours, (theirs, transpose) in name_map.items():
         arr = np.asarray(jnp.asarray(lay[ours], jnp.float32))
