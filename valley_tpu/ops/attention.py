@@ -39,11 +39,12 @@ def mha_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     v = _repeat_kv(v, n_rep)
 
     if use_flash is None:
+        # the kernel streams K in blocks and pads internally, so any
+        # prefill length works; head_dim must still be lane-aligned
         use_flash = (
             jax.default_backend() == "tpu"
             and q.shape[1] == k.shape[1]
             and q.shape[1] >= 128
-            and q.shape[1] % 128 == 0
             and q.shape[3] % 128 == 0
         )
     if use_flash:
