@@ -92,6 +92,47 @@ def test_clip_hidden_states_match_hf(torch_clip, select_layer):
     assert np.max(np.abs(ours - ref)) < 1e-3, np.max(np.abs(ours - ref))
 
 
+def test_chinese_clip_hidden_states_match_hf():
+    """ChineseCLIP tower end-to-end (reference `valley_model.py:32-36`
+    auto-selects it for "chinese" tower paths): a real HF
+    ChineseCLIPVisionModel state dict loads through the same convert_clip
+    and matches the torch hidden states at the -2 tap."""
+    torch.manual_seed(4)
+    hf_cfg = transformers.ChineseCLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        attn_implementation="eager")
+    model = transformers.ChineseCLIPVisionModel(hf_cfg).eval()
+    cfg = C.VisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        select_layer=-2)
+    params = hf_bridge.convert_clip(model.state_dict(), cfg,
+                                    dtype=jnp.float32)
+    pixels = np.random.default_rng(5).standard_normal(
+        (2, 3, 28, 28)).astype(np.float32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(pixels), output_hidden_states=True)
+        ref = out.hidden_states[-2].numpy()
+    ours = np.asarray(clip_vit.encode(params, cfg, jnp.asarray(pixels),
+                                      select_layer=-2))
+    assert np.max(np.abs(ours - ref)) < 1e-3, np.max(np.abs(ours - ref))
+
+
+def test_chinese_clip_preprocessing_constants_match():
+    """ChineseCLIPImageProcessor uses the same CLIP mean/std/resize/crop
+    — the host pipeline needs no variant (documented in docs/MODELS.md)."""
+    from transformers import ChineseCLIPImageProcessor
+
+    from valley_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+    proc = ChineseCLIPImageProcessor()
+    np.testing.assert_allclose(proc.image_mean, CLIP_MEAN, atol=1e-8)
+    np.testing.assert_allclose(proc.image_std, CLIP_STD, atol=1e-8)
+    assert proc.crop_size["height"] == 224 and proc.size[
+        "shortest_edge"] == 224
+
+
 def test_temporal_transformer_matches_torch():
     """v3 pooling vs the reference construction: 1-layer post-norm
     TransformerEncoder + last-step + temporal mean

@@ -192,6 +192,32 @@ def test_web_chat_stream_roundtrip(stack):
     assert "text" in chunks[-1]
 
 
+@pytest.mark.parametrize("mode", ["Crop", "Resize", "Pad"])
+def test_web_chat_stream_image_process_modes(stack, mode):
+    """image_process_mode parity: a non-square image goes through the
+    conversation's Pad/Crop/Resize pipeline server-side and still yields
+    a successful generation."""
+    import base64
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = Image.new("RGB", (96, 48), (200, 30, 30))
+    buf = BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    with requests.post(stack["web_addr"] + "/chat_stream",
+                       json={"model": "valley-tiny",
+                             "text": "what color?", "media": b64,
+                             "media_type": "image",
+                             "image_process_mode": mode,
+                             "temperature": 0.0, "max_new_tokens": 4},
+                       stream=True) as r:
+        chunks = [json.loads(c) for c in
+                  r.iter_lines(decode_unicode=False, delimiter=b"\0") if c]
+    assert chunks and chunks[-1].get("error_code", 0) == 0, chunks[-1:]
+
+
 def test_web_vote_logged(stack, tmp_path, monkeypatch):
     r = requests.post(stack["web_addr"] + "/vote",
                       json={"type": "upvote", "history": [["Human", "hi"]]})

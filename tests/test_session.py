@@ -120,6 +120,34 @@ def test_session_media_rejected_on_later_turn(cfg, engine):
             np.float32))
 
 
+def test_session_compaction_extends_capacity(cfg, params):
+    """When slots run out, the session compacts live tokens to the front
+    (reclaiming pow2 chunk padding + trimmed slots) instead of dying —
+    and stays token-identical to a full re-prefill."""
+    eng = Engine(cfg, params, buckets=(32,), max_new_tokens=4,
+                 cache_dtype=jnp.float32, use_flash=False)
+    gen = GenerationConfig(max_new_tokens=3, do_sample=False)
+    # cache_len = 32 + 4 + 24 = 60 slots; turn 2 consumes a 16-slot pow2
+    # chunk + 3 replies, so turn 3 would have slot 32+16+3+16+3 > 60
+    # without compaction
+    sess = ChatSession(eng, gen, extra_slots=24)
+    convo = list(range(10, 20))                      # 10 live after turn 1
+    r1 = sess.chat(convo, eos_ids=[-1])
+    convo += r1
+    t2 = [40, 41, 42]
+    r2 = sess.chat(t2, eos_ids=[-1])
+    convo += t2 + r2
+    t3 = [50, 51]
+    r3 = sess.chat(t3, eos_ids=[-1])                 # compacts here
+    expect3 = _full_generation(eng, convo + t3, n=3)
+    assert r3 == expect3, (r3, expect3)
+    convo += t3 + r3
+    t4 = [60, 61]
+    r4 = sess.chat(t4, eos_ids=[-1])                 # and again
+    expect4 = _full_generation(eng, convo + t4, n=3)
+    assert r4 == expect4, (r4, expect4)
+
+
 def test_session_cache_exhaustion_raises(cfg, params):
     eng = Engine(cfg, params, buckets=(64,), max_new_tokens=4,
                  cache_dtype=jnp.float32, use_flash=False)

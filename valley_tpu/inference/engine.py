@@ -19,6 +19,7 @@ Replaces the reference's manual token-by-token decode loops with explicit
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Iterator, Optional, Sequence
 
 import jax
@@ -342,6 +343,27 @@ def _trim_valid(valid, keep_below, drop_until):
     return jnp.logical_and(valid, jnp.logical_not(drop))
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _compact_cache(cache, valid):
+    """Pack valid cache slots to the front, reclaiming pow2 chunk padding
+    and post-stop trimmed slots.  Decode attention is slot-order-agnostic
+    (rotary positions live in the stored K values; validity is an explicit
+    mask), so a stable permutation of slots is invisible to the model.
+    Returns (cache, valid, n_valid) with n_valid (B,) live slots."""
+    invalid = jnp.logical_not(valid)                       # (B, S)
+    order = jnp.argsort(invalid, axis=1, stable=True)      # valid first
+
+    def gather(x):
+        idx = order[None, :, :, None] if x.ndim == 4 else \
+            order[None, :, :, None, None]
+        return jnp.take_along_axis(x, idx, axis=2)
+
+    cache = jax.tree.map(gather, cache)
+    n_valid = jnp.sum(valid, axis=1).astype(jnp.int32)
+    new_valid = jnp.arange(valid.shape[1])[None, :] < n_valid[:, None]
+    return cache, new_valid, n_valid
+
+
 class ChatSession:
     """Multi-turn generation with KV-prefix reuse (B=1).
 
@@ -396,10 +418,17 @@ class ChatSession:
             c = len(chunk)
             cb = 1 << max(4, (max(c, 2) - 1).bit_length())  # pow2 >= 16
             if slot + cb + gen.max_new_tokens > cache.max_len:
+                # compact: pack live slots to the front, reclaiming pow2
+                # chunk padding and post-stop trimmed slots (one cache
+                # rewrite ~ milliseconds, vs the reference re-prefilling
+                # the whole conversation)
+                cache, valid, n_valid = _compact_cache(cache, valid)
+                slot = int(np.asarray(n_valid)[0])
+            if slot + cb + gen.max_new_tokens > cache.max_len:
                 raise RuntimeError(
-                    f"session cache exhausted (slot={slot}, need "
-                    f"{cb + gen.max_new_tokens}, max={cache.max_len}); "
-                    "start a new ChatSession")
+                    f"session cache exhausted (slot={slot} live tokens, "
+                    f"need {cb + gen.max_new_tokens}, "
+                    f"max={cache.max_len}); start a new ChatSession")
             ids = np.zeros((1, cb), np.int32)
             ids[0, :c] = chunk
             tok, cache, valid, _seq = eng._extend(

@@ -54,17 +54,22 @@ PAGE = """<!doctype html>
  <label>Max new tokens <input id="maxtok" type="number" value="512"
    min="1" max="1536"></label>
  <input id="media" type="file" accept="video/mp4,image/*">
+ <label>Non-square image <select id="procmode">
+   <option>Crop</option><option>Resize</option><option>Pad</option>
+ </select></label>
 </div>
 <div id="chat"></div>
 <textarea id="text" placeholder="Ask about the video…"></textarea>
 <div class="controls">
  <button onclick="send()">Send</button>
+ <button onclick="regenerate()">&#128260; Regenerate</button>
  <button onclick="vote('upvote')">&#128077;</button>
  <button onclick="vote('downvote')">&#128078;</button>
  <button onclick="clearChat()">Clear</button>
 </div>
 <script>
 let history = [];
+let lastRequest = null;   // for regenerate: last human text + media
 async function init(){
   const r = await fetch('/list_models', {method:'POST'});
   const models = (await r.json()).models;
@@ -100,11 +105,26 @@ async function send(){
     mediaType = file.type.startsWith('video') ? 'video' : 'image';
     document.getElementById('media').value = '';
   }
+  lastRequest = {text, media, mediaType};
   addTurn('Human', text);
   addTurn('Assistant', '…');
+  await stream();
+}
+async function regenerate(){
+  // parity with the reference's Regenerate button
+  // (gradio_web_server_video.py:120-133): drop the last assistant reply
+  // and replay the last human turn (with its media + current mode)
+  if (!lastRequest || history.length < 2) return;
+  history[history.length-1][1] = '…';
+  render();
+  await stream();
+}
+async function stream(){
   const payload = {
     model: document.getElementById('model').value,
-    text, media, media_type: mediaType,
+    text: lastRequest.text, media: lastRequest.media,
+    media_type: lastRequest.mediaType,
+    image_process_mode: document.getElementById('procmode').value,
     temperature: parseFloat(document.getElementById('temp').value),
     max_new_tokens: parseInt(document.getElementById('maxtok').value),
     history: history.slice(0, -2),
@@ -186,17 +206,28 @@ class WebServer:
         conv = conv_templates[self.conv_mode].copy()
         for role, message in history:
             conv.append_message(role, message)
-        marker = ""
         payload_media: dict = {}
         if media and media_type == "video":
             path = self.save_media(media, "mp4")
             payload_media["videos"] = [path]
-            marker = "<video>"
+            conv.append_message(conv.roles[0], "<video>" + text)
         elif media and media_type == "image":
-            payload_media["images"] = [media]
-            marker = "<image>"
-        conv.append_message(conv.roles[0], (marker + text) if marker
-                            else text)
+            # image-process-mode parity (`gradio_web_server_video.py:
+            # 354-370` radio -> `conversation.get_images`): Pad expands
+            # to a square, Resize forces 224x224, Crop passes through;
+            # all get the reference's aspect-bounded resize
+            from io import BytesIO
+
+            from PIL import Image
+
+            mode = data.get("image_process_mode", "Crop")
+            pil = Image.open(
+                BytesIO(base64.b64decode(media))).convert("RGB")
+            conv.append_message(conv.roles[0], ("<image>" + text, [pil],
+                                                mode))
+            payload_media["images"] = conv.get_images()
+        else:
+            conv.append_message(conv.roles[0], text)
         conv.append_message(conv.roles[1], None)
         prompt = conv.get_prompt()
 

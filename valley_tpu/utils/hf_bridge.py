@@ -141,9 +141,20 @@ def export_llama(params, prefix: str = "") -> Dict[str, np.ndarray]:
 
 def convert_clip(sd: Dict[str, Any], cfg: C.VisionConfig,
                  dtype=jnp.bfloat16) -> Dict[str, Any]:
-    """HF `CLIPVisionModel` state dict -> our pytree.  Accepts keys with or
-    without the `vision_model.` prefix."""
+    """HF `CLIPVisionModel` OR `ChineseCLIPVisionModel` state dict -> our
+    pytree.  Accepts keys with or without the `vision_model.` prefix.
+
+    The reference auto-selects ChineseCLIP when the tower path contains
+    "chinese" (`valley_model.py:32-36`); architecturally the HF
+    ChineseCLIP vision transformer IS the CLIP one (same embeddings,
+    q/k/v/out_proj, quick-GELU MLP, identical preprocessing constants) —
+    the only state-dict delta is the correctly spelled `pre_layernorm`
+    (CLIP ships the historical `pre_layrnorm` typo), normalized here."""
     sd = _strip_prefix(sd, "vision_model.")
+    if "pre_layernorm.weight" in sd:     # ChineseCLIP spelling
+        sd = dict(sd)
+        sd["pre_layrnorm.weight"] = sd["pre_layernorm.weight"]
+        sd["pre_layrnorm.bias"] = sd["pre_layernorm.bias"]
     L = cfg.num_hidden_layers
     h = cfg.hidden_size
 
