@@ -82,7 +82,8 @@ class Engine:
                  cache_dtype=jnp.bfloat16,
                  use_flash: Optional[bool] = None,
                  steps_per_call: int = 4,
-                 mesh=None):
+                 mesh=None,
+                 decode_unroll: int = 1):
         self.cfg = cfg
         self.mesh = mesh
         if mesh is not None:
@@ -103,6 +104,10 @@ class Engine:
         # stopping happens every K tokens (the reference streams every 2
         # anyway, `model_worker.py:496`).
         self.steps_per_call = max(1, steps_per_call)
+        # Layer-scan unroll factor for the single-stream decode step
+        # (numerically identical; measured SLOWER on v5e — see
+        # llama.forward_hidden — so the default stays 1).
+        self.decode_unroll = max(1, decode_unroll)
         if use_flash is None:
             use_flash = jax.default_backend() == "tpu"
         self.use_flash = use_flash
@@ -169,7 +174,8 @@ class Engine:
             hidden, cache = llama.forward_hidden(
                 params["llama"], cfg.text, embeds,
                 positions=seq_len[:, None], cache=cache, cache_index=slot,
-                kv_valid=valid, use_flash=False)
+                kv_valid=valid, use_flash=False,
+                unroll=self.decode_unroll if b == 1 else 1)
             logits = llama.logits_from_hidden(params["llama"], hidden)[:, 0]
             tok = sample_token(logits, sub, temperature, top_p, do_sample)
             return (tok, cache, valid, seq_len + 1, slot + 1, key), tok

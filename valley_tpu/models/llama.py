@@ -407,7 +407,8 @@ def forward_hidden(params, cfg: TextConfig, inputs_embeds: jnp.ndarray,
                    cross_valid: Optional[jnp.ndarray] = None,
                    remat: bool = False,
                    use_flash: Optional[bool] = None,
-                   lora_rng=None, lora_dropout: float = 0.0):
+                   lora_rng=None, lora_dropout: float = 0.0,
+                   unroll: int = 1):
     """Run the decoder stack.  Returns (hidden, new_cache_or_None).
 
     inputs_embeds: (B, S, H).  attn_mask: (B, S) padding mask for the
@@ -455,8 +456,14 @@ def forward_hidden(params, cfg: TextConfig, inputs_embeds: jnp.ndarray,
                 lora_dropout=lora_dropout)
             return (x, kc, li + 1), None
 
+        # ``unroll`` > 1 replicates the layer body (numerically identical).
+        # Measured on v5e Valley-7B (tools/exp_decode_unroll.py): unroll=2
+        # is 3x SLOWER — XLA materializes the dynamic-sliced layer weights
+        # as copies once the body is replicated.  Keep 1 on v5e; the knob
+        # stays for other topologies.
         (hidden, new_cache, _), _ = jax.lax.scan(
-            scan_body, (inputs_embeds, cache, jnp.int32(0)), xs)
+            scan_body, (inputs_embeds, cache, jnp.int32(0)), xs,
+            unroll=unroll)
     else:
         # Batched inference (engine batch > 1 / continuous-batching rows):
         # per-layer cache slices as scan xs/ys — see _attn_cached_sliced

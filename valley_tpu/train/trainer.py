@@ -79,6 +79,14 @@ class TrainConfig:
     mesh_data: int = 1
     mesh_fsdp: int = -1
     mesh_model: int = 1
+    # Host-offload the optimizer state (Adam m/v) to pinned host memory —
+    # the TPU-native equivalent of DeepSpeed's ZeRO-offload
+    # (`valley/configs/deepspeed/config_zero3_offload.json:34-43`): the
+    # state lives in host RAM and streams over PCIe around each update,
+    # freeing ~2x trainable-param bytes of HBM.  The update math itself
+    # stays on device (elementwise VPU work) — offloading the *compute*
+    # would serialize the step on the host interconnect for no HBM win.
+    offload_optimizer: bool = False
     report_to: Optional[str] = None
     run_name: str = "valley"
     # "start:stop" step range to capture a jax.profiler trace into
@@ -227,10 +235,40 @@ class Trainer:
             opt_state = jax.jit(
                 self.tx.init,
                 in_shardings=(param_shardings(self.mesh, params),))(params)
+        self._opt_dev_sh = self._opt_host_sh = None
+        if tc.offload_optimizer:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def named(x):
+                # scalar counters can come out of init committed to one
+                # device; normalize everything to a mesh-wide sharding so
+                # host/device copies agree with the step's device set
+                sh = getattr(x, "sharding", None)
+                if isinstance(sh, NamedSharding) and sh.mesh == self.mesh:
+                    return sh
+                return NamedSharding(self.mesh, PartitionSpec())
+
+            self._opt_dev_sh = jax.tree.map(named, opt_state)
+            self._opt_host_sh = jax.tree.map(
+                lambda s: s.with_memory_kind("pinned_host"),
+                self._opt_dev_sh)
+            opt_state = jax.device_put(opt_state, self._opt_host_sh)
         self.state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
-        self._train_step = jax.jit(self._train_step_impl,
-                                   donate_argnums=(0,))
+        if tc.offload_optimizer:
+            # Split step: grads jit (opt state stays in host RAM through
+            # forward/backward — the HBM peak), then an update jit over
+            # device-resident state with explicit host<->device transfers
+            # between them.  (In-jit memory-space annotations can't
+            # partially replicate under SPMD, so the transfers live
+            # outside the executables.)
+            self._grad_step = jax.jit(self._grad_step_impl)
+            self._update_step = jax.jit(self._update_impl,
+                                        donate_argnums=(0, 1, 2))
+            self._train_step = self._offload_train_step
+        else:
+            self._train_step = jax.jit(self._train_step_impl,
+                                       donate_argnums=(0,))
         # prefetch: decode/collate/transfer the next batches while the
         # step for the current one runs on device
         from valley_tpu.data.dataset import PrefetchLoader
@@ -255,7 +293,7 @@ class Trainer:
 
     # -- jitted step -----------------------------------------------------
 
-    def _train_step_impl(self, state: TrainState, batch):
+    def _loss_and_grads(self, params, step, batch):
         # Differentiate ONLY the trainable subtree (equinox-style
         # partition/combine with None placeholders): with freeze_backbone
         # (stage 1) this avoids materializing 13+ GB of decoder cotangents
@@ -265,16 +303,16 @@ class Trainer:
         is_none = lambda x: x is None  # noqa: E731
 
         trainable = jax.tree.map(
-            lambda p, l: p if l != "frozen" else None, state.params, labels)
+            lambda p, l: p if l != "frozen" else None, params, labels)
         frozen = jax.tree.map(
-            lambda p, l: p if l == "frozen" else None, state.params, labels)
+            lambda p, l: p if l == "frozen" else None, params, labels)
 
         def loss_of(tr):
             merged = jax.tree.map(lambda t, f: f if t is None else t,
                                   tr, frozen, is_leaf=is_none)
             if self._lora_dropout > 0.0:
                 rng = jax.random.fold_in(
-                    jax.random.key(self.tc.seed), state.step)
+                    jax.random.key(self.tc.seed), step)
                 return self._loss_fn(merged, batch, rng)
             return self._loss_fn(merged, batch)
 
@@ -282,11 +320,35 @@ class Trainer:
         gnorm = optax.global_norm(grads_tr)  # None leaves flatten away
         grads = jax.tree.map(
             lambda g, p: jnp.zeros_like(p) if g is None else g,
-            grads_tr, state.params, is_leaf=is_none)
+            grads_tr, params, is_leaf=is_none)
+        return loss, gnorm, grads
+
+    def _train_step_impl(self, state: TrainState, batch):
+        loss, gnorm, grads = self._loss_and_grads(state.params, state.step,
+                                                  batch)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), \
+            {"loss": loss, "grad_norm": gnorm}
+
+    # -- optimizer host-offload step (TrainConfig.offload_optimizer) ------
+
+    def _grad_step_impl(self, params, step, batch):
+        return self._loss_and_grads(params, step, batch)
+
+    def _update_impl(self, params, opt_state, grads):
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def _offload_train_step(self, state: TrainState, batch):
+        # forward/backward with the Adam state parked in host RAM, then
+        # stream it through the device just for the update
+        loss, gnorm, grads = self._grad_step(state.params, state.step, batch)
+        opt_dev = jax.device_put(state.opt_state, self._opt_dev_sh)
+        params, opt_dev = self._update_step(state.params, opt_dev, grads)
+        opt_host = jax.device_put(opt_dev, self._opt_host_sh)
+        return TrainState(params, opt_host, state.step + 1), \
             {"loss": loss, "grad_norm": gnorm}
 
     # -- loop ------------------------------------------------------------
