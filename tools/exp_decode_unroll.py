@@ -78,7 +78,7 @@ def hlo_copy_scan(eng, params, n, smax=640, plen=472):
     sizes = {"f32": 4, "bf16": 2, "s8": 1, "u8": 1, "s32": 4, "pred": 1}
     total = 0
     biggest = []
-    for m in re.finditer(r"(\w+)\[([\d,]*)\][^=]*= copy\(", txt):
+    for m in re.finditer(r"= (\w+)\[([\d,]*)\]\S* copy\(", txt):
         dt, dims = m.group(1), m.group(2)
         nelem = 1
         for d in dims.split(","):
@@ -95,7 +95,7 @@ def hlo_copy_scan(eng, params, n, smax=640, plen=472):
         print(f"  {nb/1e6:8.1f} MB  {s}")
     # large converts (potential unfused dequant copies)
     totc = 0
-    for m in re.finditer(r"(\w+)\[([\d,]*)\][^=]*= convert\(", txt):
+    for m in re.finditer(r"= (\w+)\[([\d,]*)\]\S* convert\(", txt):
         dt, dims = m.group(1), m.group(2)
         nelem = 1
         for d in dims.split(","):
@@ -128,9 +128,65 @@ def main():
               f"{t/n*1e3:.3f} ms/tok, {n/t:6.1f} tok/s "
               f"(compile+sweep {time.perf_counter()-t0:.0f}s)", flush=True)
         return
-    if mode == "hlo":
+    if mode in ("kernel", "kernel-bf16"):
+        kv = jnp.bfloat16 if mode.endswith("bf16") else jnp.int8
+        t0 = time.perf_counter()
         eng = Engine(cfg, params, buckets=(512,), max_new_tokens=n,
-                     cache_dtype=jnp.int8, steps_per_call=n)
+                     cache_dtype=kv, steps_per_call=n, decode_kernel=True)
+        t, _ = time_engine_decode(eng, params, n)
+        print(f"{mode}: {t*1e3:7.1f} ms / {n} steps = "
+              f"{t/n*1e3:.3f} ms/tok, {n/t:6.1f} tok/s "
+              f"(compile+sweep {time.perf_counter()-t0:.0f}s)", flush=True)
+        return
+    if mode.startswith("kmicro"):
+        # standalone kernel sweep: R passes x L layers inside one jit
+        from valley_tpu.ops.decode_pallas import decode_attention_stacked
+
+        tcfg = cfg.text
+        L = tcfg.num_hidden_layers
+        smax, R = 640, 8
+        cache = llama.init_cache(
+            tcfg, 1, smax,
+            jnp.bfloat16 if mode.endswith("bf16") else jnp.int8)
+        jax.block_until_ready(cache)
+        q = jnp.full((1, 1, tcfg.num_attention_heads, tcfg.head_dim),
+                     0.01, jnp.bfloat16)
+        mask = jnp.arange(smax)[None] < 472
+        nbytes = sum(x.size * x.dtype.itemsize
+                     for x in jax.tree.leaves(cache))
+
+        @jax.jit
+        def run(q, cache):
+            def pass_(q, _):
+                def layer(carry, _):
+                    q, li = carry
+                    o = decode_attention_stacked(
+                        q, cache.k, cache.v, li, mask,
+                        k_scale=cache.k_scale, v_scale=cache.v_scale)
+                    return ((q + o * 1e-6).astype(q.dtype), li + 1), None
+                (q, _), _ = jax.lax.scan(layer, (q, jnp.int32(0)), None,
+                                         length=L)
+                return q, None
+            q, _ = jax.lax.scan(pass_, q, None, length=R)
+            return q
+
+        out = run(q, cache)
+        sync(out)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run(q, cache)
+            sync(out)
+            ts.append(time.perf_counter() - t0)
+        t = min(ts)
+        per_layer = t / (R * L) * 1e6
+        print(f"kmicro: {t*1e3:.1f} ms for {R}x{L} calls = "
+              f"{per_layer:.1f} us/call, {R*nbytes/t/1e9:.0f} GB/s")
+        return
+    if mode in ("hlo", "hlo-kernel"):
+        eng = Engine(cfg, params, buckets=(512,), max_new_tokens=n,
+                     cache_dtype=jnp.int8, steps_per_call=n,
+                     decode_kernel=mode == "hlo-kernel")
         hlo_copy_scan(eng, params, n)
         return
 

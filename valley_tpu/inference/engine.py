@@ -83,7 +83,8 @@ class Engine:
                  use_flash: Optional[bool] = None,
                  steps_per_call: int = 4,
                  mesh=None,
-                 decode_unroll: int = 1):
+                 decode_unroll: int = 1,
+                 decode_kernel: Optional[bool] = None):
         self.cfg = cfg
         self.mesh = mesh
         if mesh is not None:
@@ -108,6 +109,11 @@ class Engine:
         # (numerically identical; measured SLOWER on v5e — see
         # llama.forward_hidden — so the default stays 1).
         self.decode_unroll = max(1, decode_unroll)
+        # Fused Pallas decode attention (ops/decode_pallas.py); None =
+        # auto (on for single-stream TPU decode when the cache geometry
+        # qualifies), True/False force it (tests force True under
+        # interpret mode)
+        self.decode_kernel = decode_kernel
         if use_flash is None:
             use_flash = jax.default_backend() == "tpu"
         self.use_flash = use_flash
@@ -175,7 +181,8 @@ class Engine:
                 params["llama"], cfg.text, embeds,
                 positions=seq_len[:, None], cache=cache, cache_index=slot,
                 kv_valid=valid, use_flash=False,
-                unroll=self.decode_unroll if b == 1 else 1)
+                unroll=self.decode_unroll if b == 1 else 1,
+                decode_kernel=self.decode_kernel if b == 1 else False)
             logits = llama.logits_from_hidden(params["llama"], hidden)[:, 0]
             tok = sample_token(logits, sub, temperature, top_p, do_sample)
             return (tok, cache, valid, seq_len + 1, slot + 1, key), tok

@@ -203,7 +203,8 @@ def _cache_layer(kc: KVCache, li, dtype):
 
 def _attn_cached(lp, x, cfg: TextConfig, cos, sin, kc: KVCache, li, *,
                  cache_index, kv_valid=None, cross_valid=None,
-                 use_flash=None, lora_rng=None, lora_dropout: float = 0.0):
+                 use_flash=None, lora_rng=None, lora_dropout: float = 0.0,
+                 decode_kernel: bool = False):
     """Cached self-attention: write this chunk's K/V into the FULL stacked
     cache (L, B, Smax, Hkv, D) at layer ``li`` / slot ``cache_index`` and
     attend.  The cache rides the layer-scan *carry*, so the write is a tiny
@@ -232,7 +233,16 @@ def _attn_cached(lp, x, cfg: TextConfig, cos, sin, kc: KVCache, li, *,
     kc = kc._replace(k=_cache_write(kc.k, kq, li, cache_index),
                      v=_cache_write(kc.v, vq, li, cache_index))
 
-    if s == 1:
+    if s == 1 and decode_kernel:
+        # Fused Pallas decode attention over the FULL stacked cache
+        # (layer picked by scalar prefetch): one kernel instead of ~8
+        # small XLA kernels per layer — see ops/decode_pallas.py.
+        from valley_tpu.ops.decode_pallas import decode_attention_stacked
+
+        out = decode_attention_stacked(q, kc.k, kc.v, li, kv_valid,
+                                       k_scale=kc.k_scale,
+                                       v_scale=kc.v_scale)
+    elif s == 1:
         ck = jax.lax.dynamic_index_in_dim(kc.k, li, keepdims=False)
         cv = jax.lax.dynamic_index_in_dim(kc.v, li, keepdims=False)
         if kc.k_scale is not None:
@@ -378,12 +388,12 @@ def _attn_cached_sliced(lp, x, cfg: TextConfig, cos, sin, ck, cv, ks, vs, *,
 
 def _layer_cached(lp, x, kc, li, cfg, cos, sin, cache_index,
                   kv_valid, cross_valid, use_flash, lora_rng=None,
-                  lora_dropout=0.0):
+                  lora_dropout=0.0, decode_kernel=False):
     attn_out, kc = _attn_cached(
         lp, rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps), cfg, cos, sin,
         kc, li, cache_index=cache_index, kv_valid=kv_valid,
         cross_valid=cross_valid, use_flash=use_flash, lora_rng=lora_rng,
-        lora_dropout=lora_dropout)
+        lora_dropout=lora_dropout, decode_kernel=decode_kernel)
     x = x + attn_out
     x = x + _mlp(lp, rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps),
                  lora_rng=lora_rng, lora_dropout=lora_dropout)
@@ -408,7 +418,8 @@ def forward_hidden(params, cfg: TextConfig, inputs_embeds: jnp.ndarray,
                    remat: bool = False,
                    use_flash: Optional[bool] = None,
                    lora_rng=None, lora_dropout: float = 0.0,
-                   unroll: int = 1):
+                   unroll: int = 1,
+                   decode_kernel: Optional[bool] = None):
     """Run the decoder stack.  Returns (hidden, new_cache_or_None).
 
     inputs_embeds: (B, S, H).  attn_mask: (B, S) padding mask for the
@@ -447,13 +458,23 @@ def forward_hidden(params, cfg: TextConfig, inputs_embeds: jnp.ndarray,
         # scan CARRY and is updated in place per layer — carrying it as
         # scan xs/ys would re-stream the entire cache through HBM once
         # per decode step (measured ~2 ms/token on Valley-7B).
+        if decode_kernel is None:
+            # The fused Pallas decode-attention kernel is numerically
+            # validated but measured SLOWER than the XLA path on v5e:
+            # Mosaic's block DMA moves these (Smax, Hkv*D) cache blocks
+            # at ~27-40 GB/s (pure-DMA ablation, tools/
+            # exp_kernel_ablate.py stage 0) vs ~300 GB/s for XLA's own
+            # attention reads — so it stays opt-in (Engine
+            # decode_kernel=True) until the toolchain's DMA improves.
+            decode_kernel = False
+
         def scan_body(carry, layer_inputs):
             x, kc, li = carry
             x, kc = _layer_cached(
                 layer_inputs["lp"], x, kc, li, cfg, cos, sin,
                 cache_index, kv_valid, cross_valid, use_flash,
                 lora_rng=layer_inputs.get("lora_key"),
-                lora_dropout=lora_dropout)
+                lora_dropout=lora_dropout, decode_kernel=decode_kernel)
             return (x, kc, li + 1), None
 
         # ``unroll`` > 1 replicates the layer body (numerically identical).
