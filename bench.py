@@ -7,16 +7,26 @@ weights (math/shapes identical to real weights).  Prints ONE JSON line:
 
 Benched config = the flagship serving mode: bf16 weights + int8 KV cache
 (per-slot-per-head absmax scales, `models/llama.py:_quantize_kv`; fidelity
-tests in tests/test_kv_quant.py) with 128-token fused decode chunks.
-Override with VALLEY_BENCH_KV=bf16 / VALLEY_BENCH_STEPS=n.
+tests in tests/test_kv_quant.py) with a 256-token generation fused into
+one 255-step decode executable (dispatch through the axon tunnel costs
+~25 ms/call; one long scan amortizes it to ~0.1 ms/token).
+Override with VALLEY_BENCH_KV=bf16 / VALLEY_BENCH_STEPS=n /
+VALLEY_BENCH_NEW=n.
 
 ``vs_baseline``: the reference publishes no throughput numbers
 (BASELINE.md), so the ratio is computed against the HBM roofline for
-single-stream decode on this chip (bf16 model_bytes / HBM bandwidth) —
-i.e. fraction of weight-streaming speed-of-light.  The denominator counts
-decoder+head *weight* bytes only (unchanged by the KV-cache dtype); real
-decode additionally streams the KV cache, so 1.0 is unreachable.
-Set VALLEY_BENCH_SIZE=tiny to smoke-test on CPU.
+single-stream decode on this chip (bf16 model_bytes / 819 GB/s spec
+bandwidth) — i.e. fraction of weight-streaming speed-of-light.  The
+denominator counts decoder+head *weight* bytes only (unchanged by the
+KV-cache dtype); real decode additionally streams the KV cache, so 1.0
+is unreachable.  The metric string also reports ``ach`` — the fraction
+of the *measured achievable* rate, counting the bytes a token actually
+streams (weights minus the gathered-not-streamed embed table, plus the
+KV-cache reads) at the measured HBM ceiling (pure on-chip reduction
+sustains 738-755 GB/s on this v5e, tools/exp_calib2.py; override with
+VALLEY_HBM_ACHIEVABLE) — the spec-vs-achievable gap is physics, not
+software (ROUND_NOTES.md round 2).  Set VALLEY_BENCH_SIZE=tiny to
+smoke-test on CPU.
 """
 
 from __future__ import annotations
@@ -31,6 +41,8 @@ import numpy as np
 
 # v5e (v5 lite) HBM bandwidth ~819 GB/s
 HBM_GBPS = float(os.environ.get("VALLEY_HBM_GBPS", 819.0))
+# measured achievable read bandwidth on this chip (tools/exp_calib2.py)
+HBM_ACH_GBPS = float(os.environ.get("VALLEY_HBM_ACHIEVABLE", 750.0))
 
 
 def param_bytes(tree) -> int:
@@ -53,7 +65,8 @@ def main():
             tokens=C.SpecialTokens(im_patch=31996, im_start=31997,
                                    im_end=31998, vi_frame=31999,
                                    vi_start=31994, vi_end=31995))
-        frames_n, seq_bucket, decode_n = 8, 512, 128
+        frames_n, seq_bucket = 8, 512
+        decode_n = int(os.environ.get("VALLEY_BENCH_NEW", 256))
 
     quant = os.environ.get("VALLEY_BENCH_QUANT") == "int8"
     dtype = jnp.bfloat16
@@ -80,7 +93,7 @@ def main():
     engine = Engine(cfg, params, buckets=(seq_bucket,),
                     max_new_tokens=decode_n, cache_dtype=cache_dtype,
                     steps_per_call=int(os.environ.get(
-                        "VALLEY_BENCH_STEPS", 128)))
+                        "VALLEY_BENCH_STEPS", max(decode_n - 1, 1))))
 
     tok = cfg.tokens
     p = cfg.num_patches
@@ -117,9 +130,23 @@ def main():
     # decode roofline: every token reads all decoder+head params once
     llama_bytes = param_bytes({"llama": params["llama"]})
     roofline_tps = HBM_GBPS * 1e9 / llama_bytes
+    # measured speed-of-light context: bytes a token ACTUALLY streams
+    # (weights minus the gathered embed table, plus avg KV reads) at the
+    # measured-achievable bandwidth
+    embed_bytes = params["llama"]["embed"].size * \
+        params["llama"]["embed"].dtype.itemsize
+    tcfg = cfg.text
+    kv_slots = seq_bucket + decode_n // 2           # average over decode
+    kv_bytes_tok = (2 * tcfg.num_hidden_layers * kv_slots * tcfg.kv_heads
+                    * tcfg.head_dim
+                    * (1 if cache_dtype == jnp.int8 else 2))
+    streamed = llama_bytes - embed_bytes + kv_bytes_tok
+    ach_tps = HBM_ACH_GBPS * 1e9 / streamed
     result = {
         "metric": f"valley-{size} 8-frame video decode throughput "
-                  f"(first_token_s={best_first:.3f})",
+                  f"(first_token_s={best_first:.3f}, "
+                  f"ach={best_tps / ach_tps:.3f} of measured "
+                  f"speed-of-light)",
         "value": round(best_tps, 3),
         "unit": "tokens/s/chip",
         "vs_baseline": round(best_tps / roofline_tps, 4),

@@ -33,9 +33,10 @@ def sync(x):
     return np.asarray(jax.device_get(leaf)).ravel()[:1]
 
 
-def build_params(cfg):
+def build_params(cfg, fused=False):
     shapes = jax.eval_shape(
-        lambda k: valley.init_params(cfg, k, dtype=jnp.bfloat16),
+        lambda k: valley.init_params(cfg, k, dtype=jnp.bfloat16,
+                                     fused=fused),
         jax.random.key(0))
     params = jax.tree.map(lambda s: jnp.full(s.shape, 0.008, s.dtype),
                           shapes)
@@ -115,8 +116,18 @@ def main():
     cfg = C.valley_7b().replace(tokens=C.SpecialTokens(
         im_patch=31996, im_start=31997, im_end=31998, vi_frame=31999,
         vi_start=31994, vi_end=31995))
-    params = build_params(cfg)
+    params = build_params(cfg, fused=mode.startswith("fused"))
 
+    if mode.startswith("fused"):
+        # fused wqkv/w_gateup serving layout (llama.fuse_llama_params)
+        t0 = time.perf_counter()
+        eng = Engine(cfg, params, buckets=(512,), max_new_tokens=n,
+                     cache_dtype=jnp.int8, steps_per_call=n)
+        t, _ = time_engine_decode(eng, params, n)
+        print(f"{mode}: {t*1e3:7.1f} ms / {n} steps = "
+              f"{t/n*1e3:.3f} ms/tok, {n/t:6.1f} tok/s "
+              f"(compile+sweep {time.perf_counter()-t0:.0f}s)", flush=True)
+        return
     if mode.startswith("unroll"):
         unroll = int(mode[len("unroll"):])
         t0 = time.perf_counter()

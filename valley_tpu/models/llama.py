@@ -61,7 +61,8 @@ def init_cache(cfg: TextConfig, batch: int, max_len: int,
 # Parameter init
 # ---------------------------------------------------------------------------
 
-def init_params(cfg: TextConfig, key: jax.Array, dtype=jnp.bfloat16):
+def init_params(cfg: TextConfig, key: jax.Array, dtype=jnp.bfloat16,
+                fused: bool = False):
     keys = iter(jax.random.split(key, 16))
 
     def dense(k, fan_in, shape):
@@ -76,22 +77,58 @@ def init_params(cfg: TextConfig, key: jax.Array, dtype=jnp.bfloat16):
     # weights for batched (B > 1) decode GEMMs; storing (in, out) made it
     # materialize ~1 GB transposed copies of wq/wk/wv per executable,
     # which OOM'd a 16 GB chip on Valley-7B batched serving.
-    return {
-        "embed": dense(next(keys), h, (cfg.vocab_size, h)),
-        "layers": {
-            "attn_norm": jnp.ones((L, h), dtype),
+    embed = dense(next(keys), h, (cfg.vocab_size, h))
+    if fused:
+        # serving layout: q/k/v and gate/up concatenated on the out axis
+        # (fewer, larger decode GEMVs) — see fuse_llama_params
+        proj = {
+            "wqkv": dense(next(keys), h, (L, h + 2 * kv, h)),
+            "wo": dense(next(keys), h, (L, h, h)),
+            "w_gateup": dense(next(keys), h, (L, 2 * f, h)),
+        }
+    else:
+        proj = {
             "wq": dense(next(keys), h, (L, h, h)),
             "wk": dense(next(keys), h, (L, kv, h)),
             "wv": dense(next(keys), h, (L, kv, h)),
             "wo": dense(next(keys), h, (L, h, h)),
-            "mlp_norm": jnp.ones((L, h), dtype),
             "w_gate": dense(next(keys), h, (L, f, h)),
             "w_up": dense(next(keys), h, (L, f, h)),
+        }
+    return {
+        "embed": embed,
+        "layers": {
+            "attn_norm": jnp.ones((L, h), dtype),
+            **proj,
+            "mlp_norm": jnp.ones((L, h), dtype),
             "w_down": dense(next(keys), f, (L, h, f)),
         },
         "final_norm": jnp.ones((h,), dtype),
         "lm_head": dense(next(keys), h, (h, cfg.vocab_size)),
     }
+
+
+def fuse_llama_params(params):
+    """Concatenate wq/wk/wv -> wqkv and w_gate/w_up -> w_gateup along the
+    out axis of the (L, out, in) storage: the decode step then runs 4
+    GEMVs per layer instead of 7 — fewer kernel launches and longer
+    contiguous weight streams on the critical single-stream path.
+    Numerically identical (each output row's dot is unchanged).
+
+    Serving-only: do this BEFORE `add_lora` (adapters target the unfused
+    names) and before int8 quantization (per-out-channel scales survive
+    the concat unchanged).  Mutates and returns ``params``.
+    """
+    layers = params["llama"]["layers"]
+    if "wqkv" in layers:
+        return params
+    if any(k.endswith("_lora_a") for k in layers):
+        raise ValueError("fuse before adding LoRA adapters")
+    layers["wqkv"] = jnp.concatenate(
+        [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], axis=1)
+    layers["w_gateup"] = jnp.concatenate(
+        [layers.pop("w_gate"), layers.pop("w_up")], axis=1)
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -146,10 +183,22 @@ def _proj(lp, name: str, x: jnp.ndarray, lora_rng=None,
 
 def _qkv(lp, x, cfg: TextConfig, cos, sin, proj):
     b, s, _ = x.shape
-    q = proj(lp, "wq", x).reshape(b, s, cfg.num_attention_heads,
-                                  cfg.head_dim)
-    k = proj(lp, "wk", x).reshape(b, s, cfg.kv_heads, cfg.head_dim)
-    v = proj(lp, "wv", x).reshape(b, s, cfg.kv_heads, cfg.head_dim)
+    if "wqkv" in lp:
+        # fused serving layout (see fuse_llama_params): one GEMV, then
+        # exact slices — XLA fuses the slices into the consumers
+        h_sz = cfg.num_attention_heads * cfg.head_dim
+        kv_sz = cfg.kv_heads * cfg.head_dim
+        qkv = proj(lp, "wqkv", x)
+        q = qkv[..., :h_sz]
+        k = qkv[..., h_sz:h_sz + kv_sz]
+        v = qkv[..., h_sz + kv_sz:]
+    else:
+        q = proj(lp, "wq", x)
+        k = proj(lp, "wk", x)
+        v = proj(lp, "wv", x)
+    q = q.reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
+    k = k.reshape(b, s, cfg.kv_heads, cfg.head_dim)
+    v = v.reshape(b, s, cfg.kv_heads, cfg.head_dim)
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
 
@@ -292,8 +341,14 @@ def _attn_cached(lp, x, cfg: TextConfig, cos, sin, kc: KVCache, li, *,
 def _mlp(lp, x, lora_rng=None, lora_dropout: float = 0.0):
     proj = functools.partial(_proj, lora_rng=lora_rng,
                              lora_dropout=lora_dropout)
-    gate = jax.nn.silu(proj(lp, "w_gate", x).astype(jnp.float32))
-    up = proj(lp, "w_up", x).astype(jnp.float32)
+    if "w_gateup" in lp:
+        gu = proj(lp, "w_gateup", x)
+        f = gu.shape[-1] // 2
+        gate = jax.nn.silu(gu[..., :f].astype(jnp.float32))
+        up = gu[..., f:].astype(jnp.float32)
+    else:
+        gate = jax.nn.silu(proj(lp, "w_gate", x).astype(jnp.float32))
+        up = proj(lp, "w_up", x).astype(jnp.float32)
     return proj(lp, "w_down", (gate * up).astype(x.dtype))
 
 

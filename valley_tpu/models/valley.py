@@ -28,13 +28,14 @@ class VisionFeatures(NamedTuple):
     frame_cls: jnp.ndarray  # (B, T, H)  per-frame CLS features
 
 
-def init_params(cfg: ValleyConfig, key: jax.Array, dtype=jnp.bfloat16):
+def init_params(cfg: ValleyConfig, key: jax.Array, dtype=jnp.bfloat16,
+                fused: bool = False):
     k1, k2, k3, k4 = jax.random.split(key, 4)
     hv, hl = cfg.vision.hidden_size, cfg.text.hidden_size
     proj_w = (jax.random.normal(k3, (hv, hl), jnp.float32)
               * hv ** -0.5).astype(dtype)
     return {
-        "llama": llama.init_params(cfg.text, k1, dtype),
+        "llama": llama.init_params(cfg.text, k1, dtype, fused=fused),
         "vision": clip_vit.init_params(cfg.vision, k2, dtype),
         # Single linear mm_projector (`valley_model.py:55`).
         "projector": {"w": proj_w, "b": jnp.zeros((hl,), dtype)},

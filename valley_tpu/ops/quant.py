@@ -18,7 +18,8 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-QUANT_TARGETS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+QUANT_TARGETS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+                 "wqkv", "w_gateup")   # last two: fused serving layout
 
 
 def _quantize_one(w: jnp.ndarray, contract_axis: int = -1):

@@ -23,6 +23,10 @@ def _llama_layer_specs():
     # contract over the model-sharded dim (axis 2).
     return {
         "attn_norm": P(),
+        # fused serving layout (llama.fuse_llama_params); TP users should
+        # prefer the unfused layout (head-aligned shards)
+        "wqkv": P(None, "model", "fsdp"),
+        "w_gateup": P(None, "model", "fsdp"),
         "wq": P(None, "model", "fsdp"),
         "wk": P(None, "model", "fsdp"),
         "wv": P(None, "model", "fsdp"),
