@@ -1,1 +1,2 @@
 from valley_tpu.inference.engine import Engine, GenerationConfig
+from valley_tpu.inference.speculative import SpecConfig, SpecDecoder
