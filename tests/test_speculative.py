@@ -99,3 +99,34 @@ def test_draft_lookup_whitebox(cfg, params):
     draft = np.asarray(dec._draft(hist, jnp.int32(7), 3))
     # tail (5,6) matches at index 0 -> continuation [7, 8, 0]
     np.testing.assert_array_equal(draft, [7, 8, 0])
+
+def test_worker_speculative_stream_matches_plain(cfg):
+    """A --speculative worker streams the same final text as a plain
+    worker for a greedy request."""
+    import valley_tpu.serve.model_worker as worker_mod
+    from valley_tpu.serve.httpd import stream_chunks
+    from valley_tpu.serve.model_worker import ModelWorker
+    from valley_tpu.tokenizer import ByteFallbackTokenizer
+
+    tk = ByteFallbackTokenizer()
+    wcfg = cfg.replace(tokens=tk.special_tokens())
+    wparams = valley.init_params(wcfg, jax.random.key(0), jnp.float32)
+    eng = Engine(wcfg, wparams, buckets=(128,), max_new_tokens=16,
+                 cache_dtype=jnp.float32, use_flash=False)
+    req = {"prompt": "### Human: hi there\n### Assistant:",
+           "temperature": 0.0, "max_new_tokens": 12, "stop": "###"}
+    texts = []
+    for speculative in (False, True):
+        worker = ModelWorker("http://unused", "placeholder", "tiny", eng,
+                             tk, no_register=True, num_frames=2,
+                             speculative=speculative)
+        app = worker_mod.build_app(worker)
+        port = app.start()
+        try:
+            chunks = list(stream_chunks(
+                f"http://localhost:{port}/worker_generate_stream", req))
+            assert all(c["error_code"] == 0 for c in chunks)
+            texts.append(chunks[-1]["text"])
+        finally:
+            app.shutdown()
+    assert texts[0] == texts[1]

@@ -50,7 +50,8 @@ class ModelWorker:
                  num_frames: int = 8,
                  batch_window_ms: float = 0.0,
                  max_batch: int = 4,
-                 max_sessions: int = 0):
+                 max_sessions: int = 0,
+                 speculative: bool = False):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = str(uuid.uuid4())[:6]
@@ -82,6 +83,13 @@ class ModelWorker:
         self.max_sessions = max_sessions
         self._sessions: "dict[str, tuple]" = {}
         self._session_lock = threading.Lock()
+        # --speculative: greedy stateless requests decode via n-gram
+        # self-speculation (token-identical; inference/speculative.py)
+        self.spec_decoder = None
+        if speculative:
+            from valley_tpu.inference.speculative import SpecDecoder
+
+            self.spec_decoder = SpecDecoder(engine)
         if not no_register:
             try:
                 self.register_to_controller()
@@ -231,6 +239,9 @@ class ModelWorker:
             outq = self.batcher.submit(input_ids, images, temperature,
                                        gen.top_p, max_new_tokens, eos_id)
             token_iter = ((t,) for t in self.batcher.drain(outq))
+        elif self.spec_decoder is not None and not gen.do_sample:
+            token_iter = ((t,) for t in self.spec_decoder.generate_tokens(
+                input_ids, images, gen, eos_ids=[eos_id]))
         else:
             token_iter = self.engine.generate_tokens(
                 [input_ids], images, gen, eos_ids=[eos_id])
@@ -466,6 +477,10 @@ def main():
     parser.add_argument("--max-sessions", type=int, default=0,
                         help="enable session-id multi-turn KV reuse, "
                              "keeping up to N sessions (LRU)")
+    parser.add_argument("--speculative", action="store_true",
+                        help="greedy stateless requests decode via "
+                             "n-gram self-speculation (token-identical; "
+                             "speeds up extractive/repetitive replies)")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -481,7 +496,8 @@ def main():
                          args.num_frames,
                          batch_window_ms=args.batch_window_ms,
                          max_batch=args.max_batch,
-                         max_sessions=args.max_sessions)
+                         max_sessions=args.max_sessions,
+                         speculative=args.speculative)
     if args.warmup and worker.continuous is not None:
         worker.continuous.warmup(frames=args.num_frames)
         logger.info("continuous-batching warmup done")
