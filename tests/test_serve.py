@@ -291,3 +291,24 @@ def test_controller_concurrent_stress():
 def test_engine_warmup(engine_and_tokenizer):
     eng, _tk = engine_and_tokenizer
     eng.warmup(batch_sizes=(1,), frames=2)  # compiles without error
+
+
+def test_load_engine_kv_cache_flag():
+    """worker --kv-cache int8 builds an int8-cache engine that streams."""
+    import argparse
+
+    from valley_tpu.serve.model_worker import load_engine
+
+    args = argparse.Namespace(model_path="random:tiny", vision_tower=None,
+                              lora_path=None, buckets="128",
+                              max_new_tokens=8, quantize=None,
+                              kv_cache="int8")
+    eng, tk = load_engine(args)
+    assert eng.cache_dtype == jnp.int8
+    from valley_tpu.inference.engine import GenerationConfig
+
+    ids = tk.encode("### Human: hi\n### Assistant:")
+    toks = [int(t[0]) for t in eng.generate_tokens(
+        [ids], None, GenerationConfig(max_new_tokens=6, do_sample=False),
+        eos_ids=[-1])]
+    assert len(toks) == 6
