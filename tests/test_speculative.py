@@ -84,12 +84,77 @@ def test_spec_eos_stops(cfg, params):
     assert got == ref[:6]
 
 
-def test_spec_rejects_sampling(cfg, params):
-    eng = Engine(cfg, params, buckets=(128,), max_new_tokens=8)
-    dec = SpecDecoder(eng)
-    with pytest.raises(ValueError):
-        list(dec.generate_tokens([1, 2, 3], None,
-                                 GenerationConfig(do_sample=True)))
+def test_spec_sampling_temp0_is_greedy(cfg, params):
+    """do_sample=True with temperature < 1e-4 follows the worker's
+    argmax rule, so it must equal the greedy speculative stream."""
+    eng = Engine(cfg, params, buckets=(128,), max_new_tokens=16,
+                 steps_per_call=4)
+    dec = SpecDecoder(eng, SpecConfig(draft_len=4, rounds_per_call=2))
+    prompt = [1] + list(range(5, 20))
+    ref = list(dec.generate_tokens(
+        prompt, None, GenerationConfig(max_new_tokens=16,
+                                       do_sample=False), eos_ids=[-1]))
+    got = list(dec.generate_tokens(
+        prompt, None, GenerationConfig(max_new_tokens=16, do_sample=True,
+                                       temperature=0.0), eos_ids=[-1]))
+    assert got == ref
+
+
+def test_spec_sampling_runs_and_draws_vary(cfg, params):
+    eng = Engine(cfg, params, buckets=(128,), max_new_tokens=16,
+                 steps_per_call=4)
+    dec = SpecDecoder(eng, SpecConfig(draft_len=4, rounds_per_call=2))
+    outs = []
+    for seed in (0, 1):
+        gen = GenerationConfig(max_new_tokens=16, do_sample=True,
+                               temperature=1.3, top_p=0.9, seed=seed)
+        toks = list(dec.generate_tokens([1, 7, 8, 9, 7, 8, 9, 7], None,
+                                        gen, eos_ids=[-1]))
+        assert len(toks) == 16
+        assert all(0 <= t < cfg.text.vocab_size for t in toks)
+        outs.append(toks)
+    assert outs[0] != outs[1]  # different seeds -> different draws
+
+
+def test_spec_sample_round_distribution():
+    """Monte-carlo the rejection round against the exact sequential-
+    sampling chain law: P(emit=(a,))=p0(a) for a!=x0,
+    P(emit=(x0,b))=p0(x0)p1(b) for b!=x1,
+    P(emit=(x0,x1,c))=p0(x0)p1(x1)p2(c)."""
+    from valley_tpu.inference.speculative import _spec_sample_round
+
+    v = 5
+    rng = np.random.default_rng(0)
+    probs = rng.dirichlet(np.ones(v), size=3).astype(np.float32)
+    probs_j = jnp.asarray(probs)
+    draft = jnp.asarray([2, 4], jnp.int32)
+    n = 6000
+    keys = jax.random.split(jax.random.key(0), n)
+    emit, m = jax.vmap(lambda k: _spec_sample_round(probs_j, draft, k))(
+        keys)
+    emit = np.asarray(emit)
+    m = np.asarray(m)
+    counts = {}
+    for i in range(n):
+        seqt = tuple(emit[i, :m[i] + 1])
+        counts[seqt] = counts.get(seqt, 0) + 1
+    # exact chain probabilities
+    x0, x1 = 2, 4
+    exact = {}
+    for a in range(v):
+        if a != x0:
+            exact[(a,)] = probs[0, a]
+    for b in range(v):
+        if b != x1:
+            exact[(x0, b)] = probs[0, x0] * probs[1, b]
+    for c in range(v):
+        exact[(x0, x1, c)] = probs[0, x0] * probs[1, x1] * probs[2, c]
+    assert abs(sum(exact.values()) - 1.0) < 1e-5
+    for seqt, p in exact.items():
+        got = counts.get(seqt, 0) / n
+        assert abs(got - p) < 0.025 + 0.3 * p, (seqt, p, got)
+    # no impossible sequences emitted
+    assert set(counts) <= set(exact)
 
 
 def test_draft_lookup_whitebox(cfg, params):
@@ -99,6 +164,73 @@ def test_draft_lookup_whitebox(cfg, params):
     draft = np.asarray(dec._draft(hist, jnp.int32(7), 3))
     # tail (5,6) matches at index 0 -> continuation [7, 8, 0]
     np.testing.assert_array_equal(draft, [7, 8, 0])
+
+def test_spec_chat_session_matches_plain(cfg, params):
+    """SpecChatSession == ChatSession token-for-token across turns,
+    including first-turn media and multi-turn KV reuse."""
+    from valley_tpu.inference import ChatSession, SpecChatSession
+
+    gen = GenerationConfig(max_new_tokens=12, do_sample=False)
+    turns = [
+        [7, 8, 9, 7, 8, 9, 7, 8],
+        list(range(30, 42)),
+        [7, 8, 9, 7, 8],
+    ]
+    images = np.random.default_rng(0).standard_normal(
+        (1, 2, 3, cfg.vision.image_size, cfg.vision.image_size)
+    ).astype(np.float32)
+    tok = cfg.tokens
+    span = [tok.im_start] + [tok.im_patch] * cfg.num_patches + \
+        [tok.im_end] + [tok.vi_start] + [tok.vi_frame] * 2 + [tok.vi_end]
+    first = [1] + span + turns[0]
+
+    outs = []
+    for cls in (ChatSession, SpecChatSession):
+        eng = Engine(cfg, params, buckets=(128,), max_new_tokens=12,
+                     steps_per_call=4)
+        kw = {"spec": SpecConfig(draft_len=4, rounds_per_call=3)} \
+            if cls is SpecChatSession else {}
+        sess = cls(eng, gen, **kw)
+        replies = [sess.chat(first, images=images, eos_ids=[-1])]
+        for t in turns[1:]:
+            replies.append(sess.chat(t, eos_ids=[-1]))
+        outs.append(replies)
+    assert outs[0] == outs[1], outs
+
+
+def test_spec_chat_session_eos_mid_round(cfg, params):
+    from valley_tpu.inference import ChatSession, SpecChatSession
+
+    gen = GenerationConfig(max_new_tokens=16, do_sample=False)
+    prompt = [1] + list(range(5, 20))
+    eng = Engine(cfg, params, buckets=(128,), max_new_tokens=16,
+                 steps_per_call=4)
+    ref = ChatSession(eng, gen).chat(prompt, eos_ids=[-1])
+    eos = ref[5]
+    conts = []
+    for cls in (ChatSession, SpecChatSession):
+        sess = cls(eng, gen)
+        got = sess.chat(prompt, eos_ids=[eos])
+        assert got == ref[:6], (cls.__name__, got)
+        # the session stays usable after an eos stop
+        conts.append(sess.chat(list(range(40, 50)), eos_ids=[-1]))
+    assert conts[0] == conts[1], conts
+
+
+def test_spec_chat_session_sampling_smoke(cfg, params):
+    from valley_tpu.inference import SpecChatSession
+
+    eng = Engine(cfg, params, buckets=(128,), max_new_tokens=12,
+                 steps_per_call=4)
+    gen = GenerationConfig(max_new_tokens=12, do_sample=True,
+                           temperature=1.2, top_p=0.9)
+    sess = SpecChatSession(eng, gen)
+    r1 = sess.chat([1] + list(range(5, 20)), eos_ids=[-1])
+    r2 = sess.chat(list(range(30, 40)), eos_ids=[-1])
+    for r in (r1, r2):
+        assert 0 < len(r) <= 12
+        assert all(0 <= t < cfg.text.vocab_size for t in r)
+
 
 def test_worker_speculative_stream_matches_plain(cfg):
     """A --speculative worker streams the same final text as a plain

@@ -1,2 +1,4 @@
-from valley_tpu.inference.engine import Engine, GenerationConfig
-from valley_tpu.inference.speculative import SpecConfig, SpecDecoder
+from valley_tpu.inference.engine import (ChatSession, Engine,
+                                         GenerationConfig)
+from valley_tpu.inference.speculative import (SpecChatSession, SpecConfig,
+                                              SpecDecoder)

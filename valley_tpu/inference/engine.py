@@ -42,6 +42,27 @@ class GenerationConfig:
     stream_interval: int = 2
 
 
+def filter_logits(logits: jnp.ndarray, temperature, top_p) -> jnp.ndarray:
+    """Temperature-scale + nucleus-filter logits ((..., V) -> same shape).
+    ``softmax(filter_logits(l, t, p))`` IS the sampling distribution of
+    ``sample_token`` — the speculative sampler relies on that equivalence
+    to accept drafts against the exact same distribution."""
+    temperature = jnp.asarray(temperature, jnp.float32)
+    top_p = jnp.asarray(top_p, jnp.float32)
+    t_col = temperature[..., None] if temperature.ndim else temperature
+    p_col = top_p[..., None] if top_p.ndim else top_p
+    scaled = logits / jnp.maximum(t_col, 1e-4)
+    sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # Keep tokens whose exclusive cumulative prob is < top_p (top_p >= 1
+    # keeps everything).
+    cutoff_idx = jnp.sum(cum - probs < p_col, axis=-1) - 1
+    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[..., None],
+                                 axis=-1)
+    return jnp.where(scaled < cutoff, -1e9, scaled)
+
+
 def sample_token(logits: jnp.ndarray, key: jax.Array, temperature,
                  top_p, do_sample: bool) -> jnp.ndarray:
     """On-device sampling: greedy / temperature / nucleus.  logits: (B, V).
@@ -57,18 +78,7 @@ def sample_token(logits: jnp.ndarray, key: jax.Array, temperature,
     # temperature/top_p stay traced so one executable serves every request
     # (no recompile when the user moves the UI sliders).
     temperature = jnp.asarray(temperature, jnp.float32)
-    top_p = jnp.asarray(top_p, jnp.float32)
-    t_col = temperature[..., None] if temperature.ndim else temperature
-    p_col = top_p[..., None] if top_p.ndim else top_p
-    scaled = logits / jnp.maximum(t_col, 1e-4)
-    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    # Keep tokens whose exclusive cumulative prob is < top_p (top_p >= 1
-    # keeps everything).
-    cutoff_idx = jnp.sum(cum - probs < p_col, axis=-1) - 1
-    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
-    filtered = jnp.where(scaled < cutoff, -1e9, scaled)
+    filtered = filter_logits(logits, temperature, top_p)
     sampled = jax.random.categorical(key, filtered, axis=-1)
     return jnp.where(temperature < 1e-4, greedy, sampled)
 
@@ -453,9 +463,35 @@ class ChatSession:
             slot += cb
 
         decode_start = slot
-        tokens: list[int] = []
         max_new = min(gen.max_new_tokens, eng.max_new_tokens)
         eos_arr = np.asarray(eos_ids)
+        tokens, cache, valid, slot = self._decode_loop(
+            cache, valid, tok, seq_host, slot, max_new, eos_arr,
+            tokenizer, on_token)
+
+        kept = self._kept_count(tokens, eos_arr, tokenizer)
+        pending = tokens[kept - 1] if kept == len(tokens) else None
+        tokens = tokens[:kept]
+        # The decode loop wrote KV for tokens[0..n_inputs-1] at
+        # decode_start+i (each token is written when fed back as input).
+        # Keep the slots belonging to kept conversation tokens; when the
+        # final kept token was never fed back (pending), its slot doesn't
+        # exist yet — the next turn writes it.
+        written_kept = kept - (1 if pending is not None else 0)
+        commit_slot = decode_start + written_kept
+        valid = _trim_valid(valid, jnp.int32(commit_slot), jnp.int32(slot))
+        self._state = (cache, valid, seq_host + kept, commit_slot, pending)
+        return tokens
+
+    def _decode_loop(self, cache, valid, tok, seq_host: int, slot: int,
+                     max_new: int, eos_arr, tokenizer, on_token):
+        """Fused-chunk decode until eos/stop/max_new.  Returns
+        (tokens, cache, valid, final_slot); every emitted token except a
+        trailing never-fed-back one has its KV at contiguous slots from
+        the entry ``slot`` (the commit logic in ``chat`` relies on this).
+        Overridden by ``SpecChatSession`` with speculative rounds."""
+        eng, gen = self.engine, self.gen
+        tokens: list[int] = []
         t0 = int(np.asarray(tok)[0])
         tokens.append(t0)
         if on_token:
@@ -485,20 +521,7 @@ class ChatSession:
                 text = tokenizer.decode(tokens, skip_special_tokens=True)
                 if any(s in text for s in gen.stop):
                     stopped = True
-
-        kept = self._kept_count(tokens, eos_arr, tokenizer)
-        pending = tokens[kept - 1] if kept == len(tokens) else None
-        tokens = tokens[:kept]
-        # The decode loop wrote KV for tokens[0..n_inputs-1] at
-        # decode_start+i (each token is written when fed back as input).
-        # Keep the slots belonging to kept conversation tokens; when the
-        # final kept token was never fed back (pending), its slot doesn't
-        # exist yet — the next turn writes it.
-        written_kept = kept - (1 if pending is not None else 0)
-        commit_slot = decode_start + written_kept
-        valid = _trim_valid(valid, jnp.int32(commit_slot), jnp.int32(slot))
-        self._state = (cache, valid, seq_host + kept, commit_slot, pending)
-        return tokens
+        return tokens, cache, valid, slot
 
     def _kept_count(self, tokens, eos_arr, tokenizer) -> int:
         kept = len(tokens)

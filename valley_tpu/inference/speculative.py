@@ -7,10 +7,21 @@ weight pass.  This decoder drafts D tokens by matching the last two
 generated tokens against the prompt+history (prompt-lookup decoding — no
 draft model, no extra weights) and verifies the draft with ONE (D+1)-wide
 forward through the cache: the weight traffic of a single decode step,
-amortized over every accepted token.  Output is PROVABLY identical to
-greedy decode — a draft token survives only if it equals the model's own
-argmax at its position, and the first disagreement is replaced by that
-argmax (tests/test_speculative.py asserts token-for-token equality).
+amortized over every accepted token.
+
+* **Greedy** (``do_sample=False``): output is PROVABLY identical to
+  plain greedy decode — a draft token survives only if it equals the
+  model's own argmax at its position, and the first disagreement is
+  replaced by that argmax (tests/test_speculative.py asserts
+  token-for-token equality).
+* **Sampling** (``do_sample=True``): standard speculative-sampling
+  rejection against a point-mass draft distribution — draft token x at
+  position i is accepted with probability p_i(x) under the SAME
+  temperature/top-p-filtered distribution `engine.sample_token` uses;
+  the first rejection resamples from the residual p_i with x removed,
+  and full acceptance earns a free bonus sample from p_D.  The emitted
+  sequence is distributed EXACTLY as sequential sampling
+  (`_spec_sample_round`; distribution test in tests/test_speculative.py).
 
 Rounds run fused on device (`lax.scan`, mirroring Engine.steps_per_call)
 so the ~25 ms dispatch amortizes; the host slices each round's accepted
@@ -18,7 +29,7 @@ tokens off a fixed (R, D+1) buffer.
 
 The reference's equivalent loop is the manual one-token-at-a-time decode
 in `valley/serve/model_worker.py:371-423`; speculation has no reference
-counterpart (beyond-parity, greedy only).
+counterpart (beyond-parity).
 """
 
 from __future__ import annotations
@@ -30,8 +41,47 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from valley_tpu.inference.engine import Engine, GenerationConfig
+from valley_tpu.inference.engine import (ChatSession, Engine,
+                                         GenerationConfig, filter_logits)
 from valley_tpu.models import llama
+
+
+def _spec_sample_round(probs: jnp.ndarray, draft: jnp.ndarray,
+                       key: jax.Array):
+    """One speculative-sampling rejection round against a point-mass
+    draft.  probs: (D+1, V) target distributions (position i conditions
+    on draft[:i] accepted); draft: (D,) proposals.  Returns
+    (emit: (D+1,), m) — ``emit[:m+1]`` are this round's tokens: the m
+    accepted drafts plus one correction (residual resample at the first
+    rejection, or a free bonus sample from probs[D] on full acceptance).
+
+    With a point-mass proposal q = delta(draft_i), the standard
+    accept-with-min(1, p/q) rule reduces to accept w.p. p_i(draft_i) and
+    the residual max(0, p - q)/Z reduces to p_i with draft_i zeroed —
+    so the emitted sequence is distributed exactly as sequential
+    sampling from probs (Leviathan et al. 2023 / Chen et al. 2023
+    correctness argument, unchanged)."""
+    d = draft.shape[0]
+    v = probs.shape[1]
+    ku, kc = jax.random.split(key)
+    u = jax.random.uniform(ku, (d,))
+    p_draft = jnp.take_along_axis(probs[:d], draft[:, None], axis=1)[:, 0]
+    accept = jnp.cumprod((u < p_draft).astype(jnp.int32))
+    m = jnp.sum(accept)                       # accepted draft tokens
+    p_m = jax.lax.dynamic_index_in_dim(probs, m, keepdims=False)   # (V,)
+    draft_at_m = jax.lax.dynamic_index_in_dim(
+        jnp.concatenate([draft, jnp.full((1,), -1, draft.dtype)]), m,
+        keepdims=False)
+    # residual zeroes the rejected draft token; on full acceptance
+    # (m == d) draft_at_m is -1 so nothing is zeroed
+    p_corr = jnp.where(jnp.arange(v) == draft_at_m, 0.0, p_m)
+    corr = jax.random.categorical(
+        kc, jnp.where(p_corr > 0, jnp.log(p_corr), -1e9)).astype(
+        draft.dtype)
+    emit = jnp.where(jnp.arange(d + 1) < m,
+                     jnp.concatenate([draft, jnp.zeros((1,), draft.dtype)]),
+                     corr)
+    return emit, m
 
 
 @dataclasses.dataclass
@@ -49,7 +99,7 @@ class SpecDecoder:
         self.spec = spec or SpecConfig()
         self._rounds = jax.jit(
             self._rounds_impl,
-            static_argnames=("n_rounds",),
+            static_argnames=("n_rounds", "do_sample"),
             donate_argnames=("cache", "valid", "hist"))
 
     # -- device side -------------------------------------------------------
@@ -78,13 +128,14 @@ class SpecDecoder:
         return jax.lax.dynamic_slice(hist, (start,), (draft_len,))
 
     def _rounds_impl(self, params, cache, valid, hist, hist_len, tok,
-                     seq, slot, *, n_rounds: int):
+                     seq, slot, key, temperature, top_p, *,
+                     n_rounds: int, do_sample: bool = False):
         eng = self.engine
         cfg = eng.cfg
         d_len = self.spec.draft_len
 
         def round_(carry, _):
-            cache, valid, hist, hist_len, tok, seq, slot = carry
+            cache, valid, hist, hist_len, tok, seq, slot, key = carry
             draft = self._draft(hist, hist_len, d_len)
             chunk = jnp.concatenate([tok, draft])[None]        # (1, D+1)
             positions = (seq + jnp.arange(d_len + 1))[None]
@@ -94,11 +145,19 @@ class SpecDecoder:
                 cache=cache, cache_index=slot, cross_valid=valid,
                 use_flash=False)
             logits = llama.logits_from_hidden(params["llama"], hidden)
-            preds = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
-            # accepted = longest prefix where draft[i] == preds[i]
-            agree = jnp.cumprod(
-                (draft == preds[:d_len]).astype(jnp.int32))
-            m = jnp.sum(agree)                   # accepted draft tokens
+            if do_sample:
+                key, sub = jax.random.split(key)
+                probs = jax.nn.softmax(
+                    filter_logits(logits[0].astype(jnp.float32),
+                                  temperature, top_p), axis=-1)
+                emit, m = _spec_sample_round(
+                    probs, draft.astype(jnp.int32), sub)
+            else:
+                emit = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+                # accepted = longest prefix where draft[i] == argmax[i]
+                agree = jnp.cumprod(
+                    (draft == emit[:d_len]).astype(jnp.int32))
+                m = jnp.sum(agree)               # accepted draft tokens
             n_emit = m + 1                       # plus the correction
             # KV kept for the inputs that are confirmed conversation
             # tokens: tok itself + the m accepted draft tokens
@@ -106,16 +165,17 @@ class SpecDecoder:
             valid = jnp.logical_or(
                 valid, jnp.logical_and(slots >= slot,
                                        slots < slot + 1 + m))
-            hist = jax.lax.dynamic_update_slice(hist, preds, (hist_len,))
+            hist = jax.lax.dynamic_update_slice(hist, emit, (hist_len,))
             hist_len = hist_len + n_emit
-            tok = jax.lax.dynamic_index_in_dim(preds, m, keepdims=False)
+            tok = jax.lax.dynamic_index_in_dim(emit, m, keepdims=False)
             carry = (cache, valid, hist, hist_len, tok[None],
-                     seq + n_emit, slot + 1 + m)
-            return carry, (preds, n_emit)
+                     seq + n_emit, slot + 1 + m, key)
+            return carry, (emit, n_emit)
 
-        (cache, valid, hist, hist_len, tok, seq, slot), \
+        (cache, valid, hist, hist_len, tok, seq, slot, _), \
             (toks, counts) = jax.lax.scan(
-                round_, (cache, valid, hist, hist_len, tok, seq, slot),
+                round_, (cache, valid, hist, hist_len, tok, seq, slot,
+                         key),
                 None, length=n_rounds)
         return cache, valid, hist, hist_len, tok, seq, slot, toks, counts
 
@@ -126,12 +186,16 @@ class SpecDecoder:
                         gen: Optional[GenerationConfig] = None,
                         eos_ids: Sequence[int] = (2,),
                         ) -> Iterator[int]:
-        """Yield generated token ids one by one (greedy; identical to
-        Engine.generate_tokens with do_sample=False)."""
+        """Yield generated token ids one by one.  Greedy output is
+        token-identical to Engine.generate_tokens with do_sample=False;
+        sampled output follows the exact sample_token distribution (the
+        draws differ from Engine's — speculation consumes randomness per
+        accepted prefix, not per token)."""
         eng, spec = self.engine, self.spec
         gen = gen or GenerationConfig()
-        if gen.do_sample:
-            raise ValueError("speculative decoding is greedy-only")
+        # worker rule: temperature < 1e-4 means greedy even when sampling
+        # is requested (engine.sample_token:49-51)
+        do_sample = bool(gen.do_sample) and gen.temperature >= 1e-4
         prompt = list(input_ids)
         bucket = eng.pick_bucket(len(prompt))
         key = jax.random.key(gen.seed)
@@ -148,11 +212,12 @@ class SpecDecoder:
         max_new = min(gen.max_new_tokens, eng.max_new_tokens)
         cache_len = bucket + max_new + spec.rounds_per_call * \
             (spec.draft_len + 1)
+        key, sub = jax.random.split(key)
         tok, _logits, cache, valid = eng._prefill(
             eng.params, jnp.asarray(ids), images,
-            jnp.asarray([len(prompt)], np.int32), key, 1.0, 1.0,
-            bucket=bucket, cache_len=cache_len, do_sample=False,
-            has_images=has_images)
+            jnp.asarray([len(prompt)], np.int32), sub, gen.temperature,
+            gen.top_p, bucket=bucket, cache_len=cache_len,
+            do_sample=do_sample, has_images=has_images)
 
         hmax = bucket + cache_len
         hist = np.zeros((hmax,), np.int32)
@@ -176,10 +241,12 @@ class SpecDecoder:
         while emitted < max_new:
             # worst case one token per round
             n_rounds = min(spec.rounds_per_call, max_new - emitted)
+            key, sub = jax.random.split(key)
             cache, valid, hist, hist_len, tok_dev, seq, slot, toks, \
                 counts = self._rounds(
                     eng.params, cache, valid, hist, hist_len, tok_dev,
-                    seq, slot, n_rounds=n_rounds)
+                    seq, slot, sub, gen.temperature, gen.top_p,
+                    n_rounds=n_rounds, do_sample=do_sample)
             toks_np = np.asarray(toks)          # (R, D+1)
             counts_np = np.asarray(counts)      # (R,)
             for r in range(toks_np.shape[0]):
@@ -188,3 +255,92 @@ class SpecDecoder:
                     emitted += 1
                     if int(t) in eos or emitted >= max_new:
                         return
+
+
+class SpecChatSession(ChatSession):
+    """ChatSession whose decode loop runs self-speculative rounds
+    (B=1).  Multi-turn chat is where prompt-lookup drafting shines:
+    the draft table is the WHOLE conversation so far, and assistant
+    replies tend to reuse earlier phrasing.  Greedy mode is
+    token-identical to a plain ChatSession with do_sample=False
+    (tests/test_speculative.py); sampling mode follows the exact
+    sample_token distribution via speculative-sampling rejection.
+    The KV-commit/trim bookkeeping is unchanged because speculative
+    rounds write accepted tokens at the same contiguous slots the
+    plain loop would.
+    """
+
+    def __init__(self, engine: Engine,
+                 gen: Optional[GenerationConfig] = None,
+                 extra_slots: Optional[int] = None,
+                 spec: Optional[SpecConfig] = None):
+        gen = gen or GenerationConfig(do_sample=False)
+        super().__init__(engine, gen, extra_slots)
+        self._decoder = SpecDecoder(engine, spec)
+        self._hist: list = []   # full conversation ids (lookup table)
+
+    def chat(self, new_ids, images=None, tokenizer=None, eos_ids=(2,),
+             on_token=None) -> list:
+        base = len(self._hist)
+        self._hist.extend(int(t) for t in new_ids)
+        tokens = super().chat(new_ids, images=images, tokenizer=tokenizer,
+                              eos_ids=eos_ids, on_token=on_token)
+        # history keeps only kept reply tokens (post-stop emissions from
+        # the fused rounds would poison later lookups)
+        del self._hist[base + len(new_ids):]
+        self._hist.extend(tokens)
+        return tokens
+
+    def _decode_loop(self, cache, valid, tok, seq_host: int, slot: int,
+                     max_new: int, eos_arr, tokenizer, on_token):
+        eng, gen = self.engine, self.gen
+        spec = self._decoder.spec
+        tokens: list = []
+        t0 = int(np.asarray(tok)[0])
+        tokens.append(t0)
+        if on_token:
+            on_token(t0)
+        stopped = t0 in eos_arr
+
+        # device-side lookup history: conversation so far + this reply.
+        # pow2-padded so the jitted rounds recompile only on log growth;
+        # slack covers the last round's full-width pred write.
+        n0 = len(self._hist)
+        d1 = spec.draft_len + 1
+        need = n0 + 1 + max_new + 2 * d1
+        hmax = 1 << max(8, (need - 1).bit_length())
+        hist = np.zeros((hmax,), np.int32)
+        hist[:n0] = self._hist
+        hist[n0] = t0
+        hist_dev = jnp.asarray(hist)
+        hist_len = jnp.int32(n0 + 1)
+        tok_dev = tok
+        seq = jnp.int32(seq_host)
+        slot_dev = jnp.int32(slot)
+        do_sample = bool(gen.do_sample) and gen.temperature >= 1e-4
+        while len(tokens) < max_new and not stopped:
+            n_rounds = min(spec.rounds_per_call, max_new - len(tokens))
+            self._key, sub = jax.random.split(self._key)
+            (cache, valid, hist_dev, hist_len, tok_dev, seq, slot_dev,
+             toks, counts) = self._decoder._rounds(
+                eng.params, cache, valid, hist_dev, hist_len, tok_dev,
+                seq, slot_dev, sub, gen.temperature, gen.top_p,
+                n_rounds=n_rounds, do_sample=do_sample)
+            toks_np = np.asarray(toks)
+            counts_np = np.asarray(counts)
+            for r in range(toks_np.shape[0]):
+                for t in toks_np[r, :counts_np[r]]:
+                    tokens.append(int(t))
+                    if on_token:
+                        on_token(int(t))
+                    if int(t) in eos_arr:
+                        stopped = True
+                        break
+                if stopped or len(tokens) >= max_new:
+                    del tokens[max_new:]
+                    break
+            if not stopped and tokenizer is not None and gen.stop:
+                text = tokenizer.decode(tokens, skip_special_tokens=True)
+                if any(s in text for s in gen.stop):
+                    stopped = True
+        return tokens, cache, valid, int(np.asarray(slot_dev))

@@ -83,8 +83,9 @@ class ModelWorker:
         self.max_sessions = max_sessions
         self._sessions: "dict[str, tuple]" = {}
         self._session_lock = threading.Lock()
-        # --speculative: greedy stateless requests decode via n-gram
-        # self-speculation (token-identical; inference/speculative.py)
+        # --speculative: stateless requests decode via n-gram
+        # self-speculation (greedy: token-identical; sampled: exact
+        # sample_token distribution; inference/speculative.py)
         self.spec_decoder = None
         if speculative:
             from valley_tpu.inference.speculative import SpecDecoder
@@ -239,7 +240,9 @@ class ModelWorker:
             outq = self.batcher.submit(input_ids, images, temperature,
                                        gen.top_p, max_new_tokens, eos_id)
             token_iter = ((t,) for t in self.batcher.drain(outq))
-        elif self.spec_decoder is not None and not gen.do_sample:
+        elif self.spec_decoder is not None:
+            # greedy: token-identical; sampled: exact sample_token
+            # distribution via speculative-sampling rejection
             token_iter = ((t,) for t in self.spec_decoder.generate_tokens(
                 input_ids, images, gen, eos_ids=[eos_id]))
         else:
@@ -486,8 +489,9 @@ def main():
                         help="enable session-id multi-turn KV reuse, "
                              "keeping up to N sessions (LRU)")
     parser.add_argument("--speculative", action="store_true",
-                        help="greedy stateless requests decode via "
-                             "n-gram self-speculation (token-identical; "
+                        help="stateless requests decode via n-gram "
+                             "self-speculation (greedy token-identical, "
+                             "sampling distribution-exact; "
                              "speeds up extractive/repetitive replies)")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)

@@ -40,6 +40,13 @@ def _np(t) -> np.ndarray:
     return np.asarray(t)
 
 
+def _host_f32(x) -> np.ndarray:
+    """Device array -> host fp32: transfer in the storage dtype (bf16),
+    cast on the host.  Casting on-device first would allocate a full fp32
+    copy in HBM — at 7B scale that OOMs a 16 GB chip mid-export."""
+    return np.asarray(np.asarray(x), np.float32)
+
+
 def _dense(sd, key, dtype):
     """HF Linear weight (out, in) -> (in, out)."""
     return jnp.asarray(_np(sd[key]).T, dtype)
@@ -122,16 +129,13 @@ def export_llama(params, prefix: str = "") -> Dict[str, np.ndarray]:
         "w_down": ("mlp.down_proj.weight", False),
     }
     for ours, (theirs, transpose) in name_map.items():
-        arr = np.asarray(jnp.asarray(lay[ours], jnp.float32))
+        arr = _host_f32(lay[ours])
         for i in range(L):
             w = arr[i].T if transpose else arr[i]
             out[f"{prefix}model.layers.{i}.{theirs}"] = w
-    out[prefix + "model.embed_tokens.weight"] = np.asarray(
-        jnp.asarray(params["embed"], jnp.float32))
-    out[prefix + "model.norm.weight"] = np.asarray(
-        jnp.asarray(params["final_norm"], jnp.float32))
-    out[prefix + "lm_head.weight"] = np.asarray(
-        jnp.asarray(params["lm_head"], jnp.float32)).T
+    out[prefix + "model.embed_tokens.weight"] = _host_f32(params["embed"])
+    out[prefix + "model.norm.weight"] = _host_f32(params["final_norm"])
+    out[prefix + "lm_head.weight"] = _host_f32(params["lm_head"]).T
     return out
 
 
@@ -286,7 +290,7 @@ def export_clip(params_vision, prefix: str = "") -> Dict[str, np.ndarray]:
     p = lambda k: prefix + "vision_model." + k  # noqa: E731
 
     def f32(x):
-        return np.asarray(jnp.asarray(x, jnp.float32))
+        return _host_f32(x)
 
     lay = params_vision["layers"]
     L = lay["wq"].shape[0]
@@ -344,22 +348,19 @@ def export_valley_checkpoint(cfg, params, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     sd = export_llama(params["llama"])
     if "projector" in params and params["projector"]:
-        sd["model.mm_projector.weight"] = np.asarray(
-            jnp.asarray(params["projector"]["w"], jnp.float32)).T
-        sd["model.mm_projector.bias"] = np.asarray(
-            jnp.asarray(params["projector"]["b"], jnp.float32))
+        sd["model.mm_projector.weight"] = _host_f32(
+            params["projector"]["w"]).T
+        sd["model.mm_projector.bias"] = _host_f32(params["projector"]["b"])
     if params.get("vision"):
         sd.update(export_clip(params["vision"],
                               prefix="model.vision_tower."))
     tp = params.get("temporal") or {}
     if "pooling_w" in tp:
-        sd["model.pooling_layer.weight"] = np.asarray(
-            jnp.asarray(tp["pooling_w"], jnp.float32)).T
-        sd["model.pooling_layer.bias"] = np.asarray(
-            jnp.asarray(tp["pooling_b"], jnp.float32))
+        sd["model.pooling_layer.weight"] = _host_f32(tp["pooling_w"]).T
+        sd["model.pooling_layer.bias"] = _host_f32(tp["pooling_b"])
     if "wq" in tp:  # temporal transformer
         pfx = "model.transformer_delta_encoder.layers.0."
-        f32 = lambda x: np.asarray(jnp.asarray(x, jnp.float32))  # noqa
+        f32 = _host_f32
         sd[pfx + "self_attn.in_proj_weight"] = np.concatenate(
             [f32(tp["wq"]).T, f32(tp["wk"]).T, f32(tp["wv"]).T], axis=0)
         sd[pfx + "self_attn.in_proj_bias"] = np.concatenate(
