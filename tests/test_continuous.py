@@ -195,3 +195,71 @@ def test_eos_ends_row_early(engine, cont):
     outq = cont.submit(prompt, max_new_tokens=8, eos_id=eos)
     got = _collect(outq)
     assert got == probe[:3]          # stops at (and includes) the eos
+
+
+# -- speculative continuous batching ------------------------------------
+
+
+@pytest.fixture(scope="module")
+def spec_cont(engine):
+    from valley_tpu.inference.speculative import SpecConfig
+
+    return ContinuousEngine(engine, rows=3, bucket=64, extra_slots=64,
+                            steps_per_call=2, speculative=True,
+                            spec=SpecConfig(draft_len=4))
+
+
+def test_spec_continuous_greedy_matches_engine(engine, spec_cont):
+    prompt = [7, 8, 9, 7, 8, 9, 7, 8] + list(range(10, 30))
+    expect = _solo(engine, prompt, 8)
+    got = _collect(spec_cont.submit(prompt, max_new_tokens=8, eos_id=-1))
+    assert got == expect, (got, expect)
+
+
+def test_spec_continuous_join_does_not_perturb(engine, spec_cont):
+    """Per-row speculative rounds: a row joining mid-decode must not
+    change another row's greedy tokens even though rows advance their
+    cache slots at different per-round accept counts."""
+    a = list(range(10, 40))
+    b = [5, 6, 7, 5, 6, 7, 5, 6]
+    expect_a = _solo(engine, a, 16)
+    expect_b = _solo(engine, b, 6)
+    qa = spec_cont.submit(a, max_new_tokens=16, eos_id=-1)
+    got_a = [qa.get()]
+    time.sleep(0.5)
+    qb = spec_cont.submit(b, max_new_tokens=6, eos_id=-1)
+    got_b = _collect(qb)
+    got_a += _collect(qa)
+    assert got_a == expect_a, (got_a, expect_a)
+    assert got_b == expect_b, (got_b, expect_b)
+
+
+def test_spec_continuous_mixed_sampling_pool(engine, spec_cont):
+    """Greedy and sampled rows coexist in one speculative pool (one
+    executable): the greedy row stays token-identical, sampled rows
+    emit in-vocab tokens."""
+    g = list(range(10, 40))
+    s = list(range(45, 60))
+    expect_g = _solo(engine, g, 8)
+    qg = spec_cont.submit(g, max_new_tokens=8, eos_id=-1)
+    qs = spec_cont.submit(s, temperature=1.3, top_p=0.9,
+                          max_new_tokens=8, eos_id=-1)
+    got_s = _collect(qs)
+    got_g = _collect(qg)
+    assert got_g == expect_g, (got_g, expect_g)
+    assert len(got_s) == 8
+    v = engine.cfg.text.vocab_size
+    assert all(0 <= t < v for t in got_s)
+
+
+def test_spec_continuous_eos_and_reuse(engine, spec_cont):
+    prompt = list(range(10, 40))
+    probe = _solo(engine, prompt, 8)
+    eos = probe[2]
+    got = _collect(spec_cont.submit(prompt, max_new_tokens=8, eos_id=eos))
+    assert got == probe[:3]
+    # row is reusable afterwards
+    p2 = list(range(36, 50))
+    e2 = _solo(engine, p2, 5)
+    assert _collect(spec_cont.submit(p2, max_new_tokens=5,
+                                     eos_id=-1)) == e2

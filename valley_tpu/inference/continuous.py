@@ -66,7 +66,9 @@ class ContinuousEngine:
                  bucket: Optional[int] = None,
                  extra_slots: Optional[int] = None,
                  steps_per_call: Optional[int] = None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 speculative: bool = False,
+                 spec: Optional["SpecConfig"] = None):
         self.engine = engine
         self.rows = rows
         self.bucket = bucket or engine.buckets[-1]
@@ -77,14 +79,32 @@ class ContinuousEngine:
         self._key = jax.random.key(seed)
         self._key_lock = threading.Lock()  # split from 2 threads
 
+        # speculative mode: each decode "step" is an n-gram-draft
+        # verification round emitting 1..draft_len+1 tokens per row
+        # (per-row accept counts — rows advance their slots at their own
+        # pace; greedy rows verify against argmax via a one-hot target
+        # distribution, sampled rows via speculative-sampling rejection,
+        # in the SAME executable)
+        self._spec = None
+        if speculative:
+            from valley_tpu.inference.speculative import SpecConfig
+
+            self._spec = spec or SpecConfig()
+            self.hist_max = self.smax + self._spec.draft_len + 1
+
         self._active: List[Optional[_Request]] = [None] * rows
         self._reset_pool()
 
         self._decode = jax.jit(self._decode_impl,
                                static_argnames=("n_steps",),
                                donate_argnames=("cache", "valid"))
+        self._spec_decode = jax.jit(
+            self._spec_decode_impl, static_argnames=("n_steps",),
+            donate_argnames=("cache", "valid", "hist"))
         self._insert = jax.jit(self._insert_impl,
                                donate_argnames=("cache", "valid"))
+        self._insert_hist = jax.jit(self._insert_hist_impl,
+                                    donate_argnames=("hist",))
 
         # admission buckets: engine prefill buckets that fit in the pool —
         # a request is prefilled at the smallest one that holds its prompt
@@ -117,6 +137,9 @@ class ContinuousEngine:
         self._token = jnp.zeros((rows,), jnp.int32)
         self._temps = np.zeros((rows,), np.float32)
         self._top_ps = np.ones((rows,), np.float32)
+        if self._spec is not None:
+            self._hist = jnp.zeros((rows, self.hist_max), jnp.int32)
+            self._hist_len = jnp.zeros((rows,), jnp.int32)
 
     # -- jitted state transforms ------------------------------------------
 
@@ -161,6 +184,80 @@ class ContinuousEngine:
         slot = jax.lax.dynamic_update_slice(slot, row_len[None], (b,))
         seq = jax.lax.dynamic_update_slice(seq, row_len[None], (b,))
         return cache, valid, token, slot, seq
+
+    def _spec_decode_impl(self, params, cache, valid, token, slot, seq,
+                          hist, hist_len, key, temps, top_ps, *,
+                          n_steps: int):
+        """``n_steps`` speculative verification rounds over the pool.
+        Each round drafts per-row from the row's own history, verifies
+        the (B, D+1) chunk in one forward, and advances each row by its
+        own 1 + m_b accepted tokens.  Greedy rows (temp < 1e-4) verify
+        against a one-hot argmax distribution — the rejection rule then
+        reduces exactly to longest-matching-prefix + argmax correction,
+        so one executable serves any greedy/sampled request mix."""
+        from valley_tpu.inference.engine import filter_logits
+        from valley_tpu.inference.speculative import (_spec_sample_round,
+                                                      ngram_draft)
+
+        cfg = self.engine.cfg
+        d_len = self._spec.draft_len
+        g = self._spec.ngram
+        b = token.shape[0]
+
+        def body(carry, _):
+            token, cache, valid, seq, slot, hist, hist_len, key = carry
+            key, sub = jax.random.split(key)
+            draft = jax.vmap(
+                lambda h, hl: ngram_draft(h, hl, d_len, g))(hist, hist_len)
+            chunk = jnp.concatenate([token[:, None], draft], axis=1)
+            positions = seq[:, None] + jnp.arange(d_len + 1)[None, :]
+            embeds = llama.embed(params["llama"], chunk)
+            hidden, cache = llama.forward_hidden(
+                params["llama"], cfg.text, embeds, positions=positions,
+                cache=cache, cache_index=slot, cross_valid=valid,
+                use_flash=False)
+            logits = llama.logits_from_hidden(
+                params["llama"], hidden).astype(jnp.float32)  # (B,D+1,V)
+            greedy_probs = jax.nn.one_hot(jnp.argmax(logits, -1),
+                                          logits.shape[-1])
+            samp_probs = jax.nn.softmax(
+                filter_logits(logits, temps[:, None], top_ps[:, None]),
+                axis=-1)
+            probs = jnp.where((temps < 1e-4)[:, None, None],
+                              greedy_probs, samp_probs)
+            emit, m = jax.vmap(_spec_sample_round)(
+                probs, draft, jax.random.split(sub, b))
+            n_emit = m + 1
+            slots_ = jnp.arange(valid.shape[1])[None, :]
+            valid = jnp.logical_or(
+                valid, jnp.logical_and(slots_ >= slot[:, None],
+                                       slots_ < (slot + n_emit)[:, None]))
+            hist = jax.vmap(
+                lambda h, e, hl: jax.lax.dynamic_update_slice(
+                    h, e, (hl,)))(hist, emit, hist_len)
+            hist_len = hist_len + n_emit
+            token = jnp.take_along_axis(emit, m[:, None], axis=1)[:, 0]
+            carry = (token, cache, valid, seq + n_emit, slot + n_emit,
+                     hist, hist_len, key)
+            return carry, (emit, n_emit)
+
+        (token, cache, valid, seq, slot, hist, hist_len, _), \
+            (toks, counts) = jax.lax.scan(
+                body, (token, cache, valid, seq, slot, hist, hist_len,
+                       key), None, length=n_steps)
+        return (toks, counts, cache, valid, token, slot, seq, hist,
+                hist_len)
+
+    def _insert_hist_impl(self, hist, hist_len, row_hist, row_tok,
+                          row_len, b):
+        """Seed pool row ``b``'s lookup history: prompt + the
+        prefill-sampled first token."""
+        row_hist = jax.lax.dynamic_update_slice(
+            row_hist, row_tok[None], (row_len,))
+        hist = jax.lax.dynamic_update_slice(hist, row_hist[None], (b, 0))
+        hist_len = jax.lax.dynamic_update_slice(
+            hist_len, (row_len + 1)[None], (b,))
+        return hist, hist_len
 
     # -- public API --------------------------------------------------------
 
@@ -236,7 +333,11 @@ class ContinuousEngine:
             sub, req.temperature, req.top_p, bucket=bucket,
             cache_len=self.smax, do_sample=req.temperature >= 1e-4,
             has_images=has_images)
-        return req, tok, row_cache, row_valid, n
+        row_hist = None
+        if self._spec is not None:
+            row_hist = np.zeros((self.hist_max,), np.int32)
+            row_hist[:n] = req.input_ids
+        return req, tok, row_cache, row_valid, n, row_hist
 
     # -- scheduler loop ----------------------------------------------------
 
@@ -245,7 +346,8 @@ class ContinuousEngine:
             if self._active[b] is not None:
                 continue
             try:
-                req, tok, row_cache, row_valid, n = self._ready.get_nowait()
+                (req, tok, row_cache, row_valid, n,
+                 row_hist) = self._ready.get_nowait()
             except queue.Empty:
                 return
             (self._cache, self._valid, self._token, self._slot,
@@ -258,7 +360,17 @@ class ContinuousEngine:
             self._top_ps[b] = req.top_p
             # cap generation to the slots actually available after the
             # (compacted) prompt
-            req.max_new_tokens = min(req.max_new_tokens, self.smax - n)
+            if self._spec is None:
+                req.max_new_tokens = min(req.max_new_tokens, self.smax - n)
+            else:
+                # speculative rounds write draft_len+1 wide: keep the
+                # whole verification window in-bounds for active rows
+                req.max_new_tokens = min(
+                    req.max_new_tokens,
+                    self.smax - n - (self._spec.draft_len + 1))
+                self._hist, self._hist_len = self._insert_hist(
+                    self._hist, self._hist_len, jnp.asarray(row_hist),
+                    tok[0], jnp.asarray(np.int32(n)), jnp.int32(b))
             # the prefill-sampled token is the first output token
             req.out.put(int(np.asarray(tok)[0]))
             req.emitted = 1
@@ -285,13 +397,25 @@ class ContinuousEngine:
                 continue
             with self._key_lock:
                 self._key, sub = jax.random.split(self._key)
+            counts_np = None
             try:
-                toks, self._cache, self._valid, self._token, self._slot, \
-                    self._seq = self._decode(
+                if self._spec is None:
+                    toks, self._cache, self._valid, self._token, \
+                        self._slot, self._seq = self._decode(
+                            self.engine.params, self._cache, self._valid,
+                            self._token, self._slot, self._seq, sub,
+                            jnp.asarray(self._temps),
+                            jnp.asarray(self._top_ps),
+                            n_steps=self.steps)
+                else:
+                    (toks, counts, self._cache, self._valid, self._token,
+                     self._slot, self._seq, self._hist,
+                     self._hist_len) = self._spec_decode(
                         self.engine.params, self._cache, self._valid,
-                        self._token, self._slot, self._seq, sub,
-                        jnp.asarray(self._temps), jnp.asarray(self._top_ps),
-                        n_steps=self.steps)
+                        self._token, self._slot, self._seq, self._hist,
+                        self._hist_len, sub, jnp.asarray(self._temps),
+                        jnp.asarray(self._top_ps), n_steps=self.steps)
+                    counts_np = np.asarray(counts)   # (steps, rows)
             except Exception as e:  # noqa: BLE001 — deliver, don't die
                 logger.exception("decode chunk failed")
                 for b in range(self.rows):
@@ -303,7 +427,7 @@ class ContinuousEngine:
                 # donated cache/valid buffers may be invalid now
                 self._reset_pool()
                 continue
-            toks_np = np.asarray(toks)           # (steps, rows)
+            toks_np = np.asarray(toks)   # (steps, rows) | (steps, rows, D+1)
             for step in range(toks_np.shape[0]):
                 for b in range(self.rows):
                     req = self._active[b]
@@ -311,10 +435,17 @@ class ContinuousEngine:
                         continue
                     # ignore tokens decoded after this row finished within
                     # the chunk (they stay masked-off for the next request)
-                    t = int(toks_np[step, b])
-                    req.out.put(t)
-                    req.emitted += 1
-                    self._finish_if_done(b, t)
+                    if counts_np is None:
+                        row_toks = (int(toks_np[step, b]),)
+                    else:
+                        row_toks = [int(t) for t in
+                                    toks_np[step, b, :counts_np[step, b]]]
+                    for t in row_toks:
+                        req.out.put(t)
+                        req.emitted += 1
+                        self._finish_if_done(b, t)
+                        if self._active[b] is None:
+                            break
 
 
 def _drain(outq):

@@ -46,6 +46,31 @@ from valley_tpu.inference.engine import (ChatSession, Engine,
 from valley_tpu.models import llama
 
 
+def ngram_draft(hist: jnp.ndarray, hist_len, draft_len: int,
+                ngram: int = 2) -> jnp.ndarray:
+    """Latest-match n-gram lookup over the token history.
+
+    hist: (Hmax,) int32; returns (draft_len,) proposed continuation
+    (garbage when no match — verification rejects it, costing
+    nothing: every round still emits >= 1 correct token)."""
+    g = ngram
+    hmax = hist.shape[0]
+    idx = jnp.arange(hmax)
+    # gram[i] marks a match of hist[i : i+g] against the last g tokens
+    ok = jnp.ones((hmax,), bool)
+    for j in range(g):
+        tail = jax.lax.dynamic_index_in_dim(
+            hist, hist_len - g + j, keepdims=False)
+        ok = jnp.logical_and(
+            ok, jnp.roll(hist, -j) == tail)
+    # candidate start must leave room and precede the tail itself
+    ok = jnp.logical_and(ok, idx + g <= hist_len - g)
+    j_star = jnp.argmax(jnp.where(ok, idx, -1))       # latest match
+    has = jnp.any(ok)
+    start = jnp.where(has, j_star + g, 0)
+    return jax.lax.dynamic_slice(hist, (start,), (draft_len,))
+
+
 def _spec_sample_round(probs: jnp.ndarray, draft: jnp.ndarray,
                        key: jax.Array):
     """One speculative-sampling rejection round against a point-mass
@@ -105,27 +130,7 @@ class SpecDecoder:
     # -- device side -------------------------------------------------------
 
     def _draft(self, hist, hist_len, draft_len: int):
-        """Latest-match n-gram lookup over the token history.
-
-        hist: (Hmax,) int32; returns (draft_len,) proposed continuation
-        (garbage when no match — verification rejects it, costing
-        nothing: every round still emits >= 1 correct token)."""
-        g = self.spec.ngram
-        hmax = hist.shape[0]
-        idx = jnp.arange(hmax)
-        # gram[i] marks a match of hist[i : i+g] against the last g tokens
-        ok = jnp.ones((hmax,), bool)
-        for j in range(g):
-            tail = jax.lax.dynamic_index_in_dim(
-                hist, hist_len - g + j, keepdims=False)
-            ok = jnp.logical_and(
-                ok, jnp.roll(hist, -j) == tail)
-        # candidate start must leave room and precede the tail itself
-        ok = jnp.logical_and(ok, idx + g <= hist_len - g)
-        j_star = jnp.argmax(jnp.where(ok, idx, -1))       # latest match
-        has = jnp.any(ok)
-        start = jnp.where(has, j_star + g, 0)
-        return jax.lax.dynamic_slice(hist, (start,), (draft_len,))
+        return ngram_draft(hist, hist_len, draft_len, self.spec.ngram)
 
     def _rounds_impl(self, params, cache, valid, hist, hist_len, tok,
                      seq, slot, key, temperature, top_p, *,

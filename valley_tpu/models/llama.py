@@ -306,20 +306,24 @@ def _attn_cached(lp, x, cfg: TextConfig, cos, sin, kc: KVCache, li, *,
         else:
             out = decode_attention(q, ck, cv, kv_valid)
     elif cross_valid is not None:
-        # Session extension: a C-token chunk written at ``cache_index``
-        # attends all previously-valid cache slots plus itself causally
-        # (multi-turn KV reuse — the reference re-prefills the whole
-        # conversation every turn instead).
+        # Session extension / speculative verification: a C-token chunk
+        # written at ``cache_index`` attends all previously-valid cache
+        # slots plus itself causally (multi-turn KV reuse — the
+        # reference re-prefills the whole conversation every turn
+        # instead).  ``cache_index`` may be per-row (batched speculative
+        # rounds in continuous batching).
         ck, cv = _cache_layer(kc, li, q.dtype)
         smax = ck.shape[1]
         slots = jnp.arange(smax)
-        in_chunk = jnp.logical_and(slots >= cache_index,
-                                   slots < cache_index + s)
-        chunk_causal = (slots[None, :] - cache_index
-                        <= jnp.arange(s)[:, None])       # (S, Smax)
+        ci = jnp.broadcast_to(jnp.asarray(cache_index), (b,))
+        in_chunk = jnp.logical_and(
+            slots[None, :] >= ci[:, None],
+            slots[None, :] < ci[:, None] + s)            # (B, Smax)
+        chunk_causal = (slots[None, None, :] - ci[:, None, None]
+                        <= jnp.arange(s)[None, :, None])  # (B, S, Smax)
         mask = jnp.logical_or(
             cross_valid[:, None, :],
-            jnp.logical_and(in_chunk[None, :], chunk_causal)[None])
+            jnp.logical_and(in_chunk[:, None, :], chunk_causal))
         bias = jnp.where(mask[:, None], 0.0, -1e9)       # (B,1,S,Smax)
         out = mha_attention(q, ck, cv, bias, use_flash=False)
     else:
@@ -413,20 +417,23 @@ def _attn_cached_sliced(lp, x, cfg: TextConfig, cos, sin, ck, cv, ks, vs, *,
     if s == 1:
         out = decode_attention(q, ck, cv, kv_valid, k_scale=ks, v_scale=vs)
     elif cross_valid is not None:
-        # Session extension (see _attn_cached)
+        # Session extension / speculative verification (see _attn_cached;
+        # ``cache_index`` may be per-row)
         ckd, cvd = ck, cv
         if ks is not None:
             ckd = ck.astype(q.dtype) * ks[..., None].astype(q.dtype)
             cvd = cv.astype(q.dtype) * vs[..., None].astype(q.dtype)
         smax = ck.shape[1]
         slots = jnp.arange(smax)
-        in_chunk = jnp.logical_and(slots >= cache_index,
-                                   slots < cache_index + s)
-        chunk_causal = (slots[None, :] - cache_index
-                        <= jnp.arange(s)[:, None])
+        ci = jnp.broadcast_to(jnp.asarray(cache_index), (b,))
+        in_chunk = jnp.logical_and(
+            slots[None, :] >= ci[:, None],
+            slots[None, :] < ci[:, None] + s)            # (B, Smax)
+        chunk_causal = (slots[None, None, :] - ci[:, None, None]
+                        <= jnp.arange(s)[None, :, None])  # (B, S, Smax)
         mask = jnp.logical_or(
             cross_valid[:, None, :],
-            jnp.logical_and(in_chunk[None, :], chunk_causal)[None])
+            jnp.logical_and(in_chunk[:, None, :], chunk_causal))
         bias = jnp.where(mask[:, None], 0.0, -1e9)
         out = mha_attention(q, ckd, cvd, bias, use_flash=False)
     else:

@@ -74,9 +74,11 @@ class ModelWorker:
                                           window_ms=batch_window_ms)
         elif batch_window_ms < 0:
             # negative window => iteration-level continuous batching
+            # (--speculative composes: per-row n-gram verification rounds)
             from valley_tpu.inference.continuous import ContinuousEngine
 
-            self.continuous = ContinuousEngine(engine, rows=max_batch)
+            self.continuous = ContinuousEngine(engine, rows=max_batch,
+                                               speculative=speculative)
         # session-id mode: multi-turn KV reuse behind the UNCHANGED wire
         # protocol (client still sends the full conversation; the worker
         # prefix-matches tokens and extends the session with the delta)
@@ -87,7 +89,7 @@ class ModelWorker:
         # self-speculation (greedy: token-identical; sampled: exact
         # sample_token distribution; inference/speculative.py)
         self.spec_decoder = None
-        if speculative:
+        if speculative and self.continuous is None and self.batcher is None:
             from valley_tpu.inference.speculative import SpecDecoder
 
             self.spec_decoder = SpecDecoder(engine)
