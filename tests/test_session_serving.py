@@ -83,3 +83,24 @@ def test_session_lru_eviction(stack):
     _ask(url, "### Human: s4\n### Assistant:", session_id="s4")
     _ask(url, "### Human: s5\n### Assistant:", session_id="s5")
     assert len(worker._sessions) <= 2
+
+
+def test_speculative_session_serving_matches_plain(stack):
+    """A --speculative --max-sessions worker answers greedy multi-turn
+    requests with the same text as the plain session worker."""
+    worker, url, tk = stack
+    spec_worker = ModelWorker("unused", "unused", "valley-tiny",
+                              worker.engine, tk, no_register=True,
+                              max_sessions=2, speculative=True)
+    app = worker_mod.build_app(spec_worker)
+    port = app.start()
+    spec_url = f"http://localhost:{port}/worker_generate_stream"
+    try:
+        p1 = "### Human: repeat repeat repeat\n### Assistant:"
+        r1 = _ask(spec_url, p1, session_id="sp1")
+        assert r1 == _ask(url, p1)
+        p2 = p1 + r1 + " Human: again again\n### Assistant:"
+        r2 = _ask(spec_url, p2, session_id="sp1")   # delta path
+        assert r2 == _ask(url, p2)
+    finally:
+        app.shutdown()

@@ -88,6 +88,7 @@ class ModelWorker:
         # --speculative: stateless requests decode via n-gram
         # self-speculation (greedy: token-identical; sampled: exact
         # sample_token distribution; inference/speculative.py)
+        self._speculative = speculative
         self.spec_decoder = None
         if speculative and self.continuous is None and self.batcher is None:
             from valley_tpu.inference.speculative import SpecDecoder
@@ -278,8 +279,14 @@ class ModelWorker:
                         stop_str, ori_prompt: str, eos_id: int):
         """Multi-turn request with KV reuse.  The client sends the full
         conversation (reference protocol); if its tokens extend the
-        session's known prefix, only the delta is prefilled."""
-        from valley_tpu.inference.engine import ChatSession
+        session's known prefix, only the delta is prefilled.  With
+        --speculative, sessions decode via SpecChatSession (n-gram
+        rounds over the whole conversation history)."""
+        if self._speculative:
+            from valley_tpu.inference.speculative import \
+                SpecChatSession as ChatSession
+        else:
+            from valley_tpu.inference.engine import ChatSession
 
         with self._session_lock:
             entry = self._sessions.pop(session_id, None)
