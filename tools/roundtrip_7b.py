@@ -154,8 +154,13 @@ def compare_dirs():
 
 def main():
     t0 = time.time()
-    log("building 7B source checkpoint...")
-    build_src_checkpoint()
+    marker = os.path.join(SRC, "tokenizer_config.json")
+    if os.path.exists(marker) and os.path.exists(
+            os.path.join(SRC, "model.safetensors")):
+        log("source checkpoint already on disk; skipping rebuild")
+    else:
+        log("building 7B source checkpoint...")
+        build_src_checkpoint()
 
     import jax
     import jax.numpy as jnp
