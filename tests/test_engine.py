@@ -118,6 +118,39 @@ def test_no_recompiles_within_bucket(cfg, params):
     assert eng._decode._cache_size() <= 2
 
 
+def test_frame_buckets_one_executable_and_matching_tokens(cfg, params):
+    """With frame_buckets, prompts carrying different media frame counts
+    share ONE prefill executable, and outputs match the exact-shape
+    engine (pad frames masked out of temporal pooling)."""
+    def prompt_for(t):
+        tok = cfg.tokens
+        span = [tok.im_start] + [tok.im_patch] * cfg.num_patches + \
+            [tok.im_end] + [tok.vi_start] + [tok.vi_frame] * t + \
+            [tok.vi_end]
+        return [1] + span + list(range(5, 20))
+
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False)
+    rng = np.random.default_rng(0)
+    imgs = {t: rng.standard_normal(
+        (1, t, 3, cfg.vision.image_size, cfg.vision.image_size)
+    ).astype(np.float32) for t in (2, 3)}
+
+    exact = Engine(cfg, params, buckets=(128,), max_new_tokens=6,
+                   cache_dtype=jnp.float32, use_flash=False,
+                   steps_per_call=2)
+    bucketed = Engine(cfg, params, buckets=(128,), max_new_tokens=6,
+                      cache_dtype=jnp.float32, use_flash=False,
+                      steps_per_call=2, frame_buckets=(4,))
+    for t in (2, 3):
+        ref = [int(x[0]) for x in exact.generate_tokens(
+            [prompt_for(t)], imgs[t], gen, eos_ids=[-1])]
+        got = [int(x[0]) for x in bucketed.generate_tokens(
+            [prompt_for(t)], imgs[t], gen, eos_ids=[-1])]
+        assert got == ref, (t, got, ref)
+    assert bucketed._prefill._cache_size() == 1   # T=2 and T=3 share
+    assert exact._prefill._cache_size() == 2      # per-shape without
+
+
 def test_build_prompt_golden():
     msgs = [
         {"role": "system", "content": "SYS"},

@@ -320,17 +320,11 @@ class ContinuousEngine:
         lens = np.asarray([n], np.int32)
         ids = np.zeros((1, bucket), np.int32)
         ids[0, :n] = req.input_ids
-        has_images = req.images is not None
-        if has_images:
-            images = jnp.asarray(np.asarray(
-                req.images, np.float32).astype(jnp.bfloat16))
-        else:
-            v = eng.cfg.vision
-            images = jnp.zeros((1, 1, 3, v.image_size, v.image_size),
-                               jnp.bfloat16)
+        images, frame_mask, has_images = eng._prepare_images(
+            req.images, 1)
         tok, _lg, row_cache, row_valid = eng._prefill(
             eng.params, jnp.asarray(ids), images, jnp.asarray(lens),
-            sub, req.temperature, req.top_p, bucket=bucket,
+            sub, req.temperature, req.top_p, frame_mask, bucket=bucket,
             cache_len=self.smax, do_sample=req.temperature >= 1e-4,
             has_images=has_images)
         row_hist = None

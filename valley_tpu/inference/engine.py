@@ -94,9 +94,17 @@ class Engine:
                  steps_per_call: int = 4,
                  mesh=None,
                  decode_unroll: int = 1,
-                 decode_kernel: Optional[bool] = None):
+                 decode_kernel: Optional[bool] = None,
+                 frame_buckets: Optional[Sequence[int]] = None):
         self.cfg = cfg
         self.mesh = mesh
+        # Frame-count bucketing: pad the media frame axis up to the
+        # smallest bucket that fits and pass a frame mask through the
+        # (mask-aware) temporal pooling, so requests with different
+        # image/frame counts share one prefill executable per bucket
+        # instead of compiling per shape.  None = exact shapes (default).
+        self.frame_buckets = tuple(sorted(frame_buckets)) \
+            if frame_buckets else None
         if mesh is not None:
             # Multi-chip serving: params shard per the (data, fsdp, model)
             # rules (TP for latency, fsdp for fitting 13B across chips);
@@ -144,12 +152,13 @@ class Engine:
     # -- jitted bodies ---------------------------------------------------
 
     def _prefill_impl(self, params, input_ids, images, prompt_len, key,
-                      temperature, top_p, *, bucket: int, cache_len: int,
-                      do_sample: bool, has_images: bool):
+                      temperature, top_p, frame_mask=None, *, bucket: int,
+                      cache_len: int, do_sample: bool, has_images: bool):
         cfg = self.cfg
         b = input_ids.shape[0]
         embeds = valley.build_inputs_embeds(
-            params, cfg, input_ids, images if has_images else None)
+            params, cfg, input_ids, images if has_images else None,
+            frame_mask=frame_mask)
         cache = llama.init_cache(cfg.text, b, cache_len, self.cache_dtype)
         if self.mesh is not None:
             from valley_tpu.parallel.sharding import kv_cache_sharding
@@ -252,6 +261,29 @@ class Engine:
                                               eos_ids=[-1]):
                     pass
 
+    def _prepare_images(self, images, batch: int):
+        """Host media -> (device bf16 images, frame_mask | None,
+        has_images).  bf16 on the host before transfer halves H2D bytes;
+        with ``frame_buckets`` the frame axis pads to the smallest bucket
+        that fits (frames past the true count masked out of pooling)."""
+        if images is None:
+            v = self.cfg.vision
+            return (jnp.zeros((batch, 1, 3, v.image_size, v.image_size),
+                              jnp.bfloat16), None, False)
+        arr = np.asarray(images, np.float32)
+        mask = None
+        if self.frame_buckets:
+            t = arr.shape[1]
+            tb = next((fb for fb in self.frame_buckets if t <= fb), t)
+            if tb != t:
+                pad = np.zeros(arr.shape[:1] + (tb - t,) + arr.shape[2:],
+                               np.float32)
+                arr = np.concatenate([arr, pad], axis=1)
+            mask = np.zeros((arr.shape[0], tb), bool)
+            mask[:, :t] = True
+            mask = jnp.asarray(mask)
+        return jnp.asarray(arr.astype(jnp.bfloat16)), mask, True
+
     def pick_bucket(self, length: int) -> int:
         for b in self.buckets:
             if length <= b:
@@ -277,21 +309,12 @@ class Engine:
 
         key = jax.random.key(gen.seed)
         key, sub = jax.random.split(key)
-        has_images = images is not None
-        if has_images:
-            # bf16 on the host before transfer: halves H2D bytes (matters
-            # for video -> first-token latency through the PCIe/tunnel hop)
-            images = jnp.asarray(np.asarray(images, np.float32).astype(
-                jnp.bfloat16))
-        else:
-            # static-shape placeholder; never touched when has_images=False
-            v = self.cfg.vision
-            images = jnp.zeros((len(input_ids), 1, 3, v.image_size,
-                                v.image_size), jnp.bfloat16)
+        images, frame_mask, has_images = self._prepare_images(
+            images, len(input_ids))
 
         tok, _logits, cache, valid = self._prefill(
             self.params, jnp.asarray(ids), images, jnp.asarray(lens), sub,
-            gen.temperature, gen.top_p, bucket=bucket,
+            gen.temperature, gen.top_p, frame_mask, bucket=bucket,
             cache_len=bucket + self.max_new_tokens,
             do_sample=gen.do_sample, has_images=has_images)
         seq_len = jnp.asarray(lens)
@@ -543,14 +566,7 @@ class ChatSession:
         bucket = eng.pick_bucket(int(lens[0]))
         ids = np.zeros((1, bucket), np.int32)
         ids[0, :lens[0]] = new_ids
-        has_images = images is not None
-        if has_images:
-            images = jnp.asarray(np.asarray(images, np.float32).astype(
-                jnp.bfloat16))
-        else:
-            v = eng.cfg.vision
-            images = jnp.zeros((1, 1, 3, v.image_size, v.image_size),
-                               jnp.bfloat16)
+        images, frame_mask, has_images = eng._prepare_images(images, 1)
         # session caches need headroom beyond one turn: each later turn
         # consumes a pow2-padded chunk plus its reply slots
         extra = self.extra_slots
@@ -558,7 +574,7 @@ class ChatSession:
             extra = 4 * (eng.max_new_tokens + 64)
         tok, _logits, cache, valid = eng._prefill(
             eng.params, jnp.asarray(ids), images, jnp.asarray(lens),
-            sub, gen.temperature, gen.top_p, bucket=bucket,
+            sub, gen.temperature, gen.top_p, frame_mask, bucket=bucket,
             cache_len=bucket + eng.max_new_tokens + extra,
             do_sample=gen.do_sample, has_images=has_images)
         return tok, cache, valid, int(lens[0]), bucket

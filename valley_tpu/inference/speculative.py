@@ -204,14 +204,7 @@ class SpecDecoder:
         prompt = list(input_ids)
         bucket = eng.pick_bucket(len(prompt))
         key = jax.random.key(gen.seed)
-        has_images = images is not None
-        if has_images:
-            images = jnp.asarray(np.asarray(images, np.float32).astype(
-                jnp.bfloat16))
-        else:
-            v = eng.cfg.vision
-            images = jnp.zeros((1, 1, 3, v.image_size, v.image_size),
-                               jnp.bfloat16)
+        images, frame_mask, has_images = eng._prepare_images(images, 1)
         ids = np.zeros((1, bucket), np.int32)
         ids[0, :len(prompt)] = prompt
         max_new = min(gen.max_new_tokens, eng.max_new_tokens)
@@ -221,7 +214,7 @@ class SpecDecoder:
         tok, _logits, cache, valid = eng._prefill(
             eng.params, jnp.asarray(ids), images,
             jnp.asarray([len(prompt)], np.int32), sub, gen.temperature,
-            gen.top_p, bucket=bucket, cache_len=cache_len,
+            gen.top_p, frame_mask, bucket=bucket, cache_len=cache_len,
             do_sample=do_sample, has_images=has_images)
 
         hmax = bucket + cache_len

@@ -452,10 +452,13 @@ def load_engine(args):
         params = quantize_llama_params(params)
     cache_dtype = jnp.int8 if getattr(args, "kv_cache", "bf16") == "int8" \
         else jnp.bfloat16
+    fb = getattr(args, "frame_buckets", "") or ""
     engine = Engine(cfg, params,
                     buckets=tuple(int(b) for b in args.buckets.split(",")),
                     max_new_tokens=args.max_new_tokens,
-                    cache_dtype=cache_dtype)
+                    cache_dtype=cache_dtype,
+                    frame_buckets=tuple(
+                        int(b) for b in fb.split(",")) if fb else None)
     return engine, tokenizer
 
 
@@ -477,6 +480,11 @@ def main():
     parser.add_argument("--stream-interval", type=int, default=2)
     parser.add_argument("--no-register", action="store_true")
     parser.add_argument("--num-frames", type=int, default=8)
+    parser.add_argument("--frame-buckets", type=str, default="",
+                        help="comma list (e.g. '4,8'): pad the media "
+                             "frame axis to the smallest bucket so mixed "
+                             "image/frame counts share one prefill "
+                             "executable (mask-aware pooling)")
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile every bucket before registering")
     parser.add_argument("--quantize", type=str, default=None,
