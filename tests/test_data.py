@@ -189,6 +189,41 @@ def test_load_video_frame_dir(tmp_path):
     assert out.shape == (3, 4, 224, 224)
 
 
+def test_select_diverse_prefers_distinct_frames():
+    from valley_tpu.data.video import select_diverse
+
+    rng = np.random.default_rng(0)
+    dup = rng.integers(0, 255, (30, 40, 3)).astype(np.uint8)
+    distinct = [rng.integers(0, 255, (30, 40, 3)).astype(np.uint8)
+                for _ in range(3)]
+    # 13 near-duplicates + 3 distinct shots scattered in
+    frames = [dup.copy() for _ in range(16)]
+    frames[4], frames[9], frames[14] = distinct
+    keep = select_diverse(frames, 4)
+    assert keep == sorted(keep) and len(keep) == 4
+    assert {4, 9, 14} <= set(keep)        # all distinct shots kept
+    # short inputs pass through untouched
+    assert select_diverse(frames[:3], 8) == [0, 1, 2]
+
+
+def test_load_video_adaptive_mode(tiny_video):
+    out = load_video(tiny_video, frame_mode="adaptive",
+                     fixed_frame_number=6)
+    assert out.shape == (3, 6, 224, 224)
+    assert out.dtype == np.float32
+
+
+def test_load_video_adaptive_frame_dir(tmp_path):
+    from PIL import Image
+
+    for i in range(12):
+        Image.fromarray(np.full((60, 80, 3), (i % 3) * 80,
+                                np.uint8)).save(tmp_path / f"f{i:02d}.png")
+    out = load_video(str(tmp_path), frame_mode="adaptive",
+                     fixed_frame_number=3)
+    assert out.shape == (3, 3, 224, 224)
+
+
 # -- dataset / collator -------------------------------------------------
 
 def test_hybrid_dataset_and_collator(tmp_path, tiny_video):

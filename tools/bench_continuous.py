@@ -3,7 +3,9 @@ bf16 weights + int8 KV cache, mixed prompt lengths).
 
 Round-1 record: 118 tok/s aggregate (6 requests, 4 rows).
 Usage: python tools/bench_continuous.py [rows] [n_requests]
-(set VALLEY_BENCH_QUANT=int8 for int8 weights)
+(VALLEY_BENCH_QUANT=int8 for int8 weights; VALLEY_BENCH_SPEC=1 for
+speculative verification rounds — constant perf weights fully accept,
+so the speculative number is the extractive-text ceiling)
 """
 
 from __future__ import annotations
@@ -41,10 +43,13 @@ def main():
         params = quantize_llama_params(params)
         jax.block_until_ready(params)
 
+    spec = os.environ.get("VALLEY_BENCH_SPEC") == "1"
     eng = Engine(cfg, params, buckets=(128, 512), max_new_tokens=128,
                  cache_dtype=jnp.int8, steps_per_call=16)
-    cont = ContinuousEngine(eng, rows=rows, bucket=512, extra_slots=128,
-                            steps_per_call=16)
+    cont = ContinuousEngine(eng, rows=rows, bucket=512,
+                            extra_slots=128 + (48 if spec else 0),
+                            steps_per_call=4 if spec else 16,
+                            speculative=spec)
     print("warmup (compiles prefills + pooled decode)...", flush=True)
     cont.warmup()
 

@@ -7,8 +7,11 @@ chain: the `valley_tpu` native preprocessing extension when built
 imageio.  Sampling semantics are identical: ``fixed`` mode takes
 ``np.linspace(0, N-1, k)`` frame indices (`data_util.py:263-266`), ``fps``
 mode strides by round(avg_fps)/fps_number (`:267-271`); a directory of
-frame images is also supported (`:283-302`).  Output: (C, T, H, W) fp32,
-resize-256 / centercrop-224 / CLIP-normalized.
+frame images is also supported (`:283-302`).  Beyond the reference, an
+``adaptive`` mode decodes a 4x candidate pool and keeps the k most
+visually distinct frames (`select_diverse` — content-aware sampling for
+long/repetitive videos).  Output: (C, T, H, W) fp32, resize-256 /
+centercrop-224 / CLIP-normalized.
 """
 
 from __future__ import annotations
@@ -82,7 +85,50 @@ def sample_indices(video_len: int, frame_mode: str = "fixed",
     if frame_mode == "fps":
         offset = int(round(fps) / fps_number)
         return np.arange(0, video_len, max(offset, 1), dtype=np.int64)
-    raise ValueError('frame_mode must be "fixed" or "fps"')
+    if frame_mode == "adaptive":
+        # candidate pool for content-aware selection (select_diverse)
+        return np.linspace(0, video_len - 1,
+                           min(video_len, 4 * fixed_frame_number)
+                           ).astype(np.int64)
+    raise ValueError('frame_mode must be "fixed", "fps" or "adaptive"')
+
+
+def select_diverse(frames: List[np.ndarray], k: int) -> List[int]:
+    """Pick the ``k`` most visually distinct frames, in temporal order.
+
+    Training-free greedy farthest-point selection over 16x16 grayscale
+    thumbnails (zero-mean, L2-normalized): long or repetitive videos
+    keep their distinct shots instead of uniform samples landing on
+    near-duplicates.  The reference only offers uniform/fps sampling
+    (`data_util.py:263-271`); content-aware selection follows the
+    frame-selection directions surveyed in PAPERS.md, with no learned
+    components (pure numpy, ~microseconds per candidate)."""
+    if len(frames) <= k:
+        return list(range(len(frames)))
+
+    def thumb(f):
+        h, w = f.shape[:2]
+        ys = np.linspace(0, h - 1, 16).astype(int)
+        xs = np.linspace(0, w - 1, 16).astype(int)
+        g = f[ys][:, xs].astype(np.float32)
+        if g.ndim == 3:
+            g = g.mean(-1)
+        g = g - g.mean()
+        n = np.linalg.norm(g)
+        return (g / n if n else g).ravel()
+
+    t = np.stack([thumb(f) for f in frames])          # (N, 256)
+    chosen = [0]
+    d = np.linalg.norm(t - t[0], axis=1)
+    while len(chosen) < k:
+        i = int(np.argmax(d))
+        if d[i] <= 0:   # all remaining are duplicates: fill uniformly
+            rest = [j for j in range(len(frames)) if j not in chosen]
+            chosen.extend(rest[:k - len(chosen)])
+            break
+        chosen.append(i)
+        d = np.minimum(d, np.linalg.norm(t - t[i], axis=1))
+    return sorted(chosen[:k])
 
 
 def hot_path_transform(crop_size: int = 224, scale_size: int = 256):
@@ -109,7 +155,8 @@ def load_video(path: str,
     permute to (T, C, H, W) for the model, `dataset.py:122`).
     """
     if os.path.isfile(path):
-        if not os.environ.get("VALLEY_DISABLE_NATIVE"):
+        if frame_mode != "adaptive" and \
+                not os.environ.get("VALLEY_DISABLE_NATIVE"):
             try:
                 # One-pass native C++ decode+preprocess (demux/decode/
                 # resize/crop/normalize) — verified ~1e-7 vs this python
@@ -130,19 +177,22 @@ def load_video(path: str,
     frame_paths = [p for p in frame_paths if p.is_file()]
     if not frame_paths:
         raise IOError(f"no frames found under {path}")
-    if frame_mode == "fixed":
-        idx = np.linspace(0, len(frame_paths) - 1,
-                          fixed_frame_number).astype(np.int64)
+    if frame_mode in ("fixed", "adaptive"):
+        idx = sample_indices(len(frame_paths), frame_mode,
+                             fixed_frame_number)
         frame_paths = [frame_paths[int(i)] for i in idx]
     elif frame_mode == "fps":
         raise ValueError("A frame folder does not support fps mode")
     else:
-        raise ValueError('frame_mode must be "fixed" or "fps"')
+        raise ValueError('frame_mode must be "fixed" or "adaptive"')
 
     from PIL import Image
 
     frames = [np.asarray(Image.open(str(p)).convert("RGB"))
               for p in frame_paths]
+    if frame_mode == "adaptive":
+        frames = [frames[i] for i in
+                  select_diverse(frames, fixed_frame_number)]
     if frame_process_method == "resize":
         min_len = min(frames[0].shape[:2])
         frames = [T._resize_frame(f, (min_len, min_len)) for f in frames]
@@ -162,15 +212,18 @@ def _load_file(path: str, frame_mode: str, fixed_frame_number: int,
         n, fps = _video_meta_cv2(path)
         idx = sample_indices(n, frame_mode, fixed_frame_number, fps,
                              fps_number)
-        return _decode_indices_cv2(path, idx)
+        frames = _decode_indices_cv2(path, idx)
     except ImportError:
-        pass
-    import imageio.v3 as iio
+        import imageio.v3 as iio
 
-    vid = np.asarray(iio.imread(path))
-    idx = sample_indices(len(vid), frame_mode, fixed_frame_number, 30.0,
-                         fps_number)
-    return [vid[int(i)] for i in np.clip(idx, 0, len(vid) - 1)]
+        vid = np.asarray(iio.imread(path))
+        idx = sample_indices(len(vid), frame_mode, fixed_frame_number,
+                             30.0, fps_number)
+        frames = [vid[int(i)] for i in np.clip(idx, 0, len(vid) - 1)]
+    if frame_mode == "adaptive":
+        frames = [frames[i] for i in
+                  select_diverse(frames, fixed_frame_number)]
+    return frames
 
 
 def load_video_tchw(path: str, **kw) -> np.ndarray:
