@@ -51,7 +51,8 @@ class ModelWorker:
                  batch_window_ms: float = 0.0,
                  max_batch: int = 4,
                  max_sessions: int = 0,
-                 speculative: bool = False):
+                 speculative: bool = False,
+                 frame_mode: str = "fixed"):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = str(uuid.uuid4())[:6]
@@ -59,6 +60,7 @@ class ModelWorker:
         self.engine = engine
         self.tokenizer = tokenizer
         self.num_frames = num_frames
+        self.frame_mode = frame_mode
         self.stream_interval = stream_interval
         self.context_len = getattr(tokenizer, "model_max_length", 2048)
         self._semaphore = threading.Semaphore(limit_model_concurrency)
@@ -186,7 +188,8 @@ class ModelWorker:
                 f.write(base64.b64decode(video))
                 video = f.name
         size = self.engine.cfg.vision.image_size
-        clip = load_video(video, fixed_frame_number=self.num_frames,
+        clip = load_video(video, frame_mode=self.frame_mode,
+                          fixed_frame_number=self.num_frames,
                           crop_size=size,
                           scale_size=max(size * 256 // 224, size))
         frames = np.transpose(clip, (1, 0, 2, 3))[None]  # (1, T, 3, H, W)
@@ -480,6 +483,11 @@ def main():
     parser.add_argument("--stream-interval", type=int, default=2)
     parser.add_argument("--no-register", action="store_true")
     parser.add_argument("--num-frames", type=int, default=8)
+    parser.add_argument("--frame-mode", type=str, default="fixed",
+                        choices=["fixed", "adaptive"],
+                        help="'adaptive' keeps the most visually "
+                             "distinct frames from a 4x candidate pool "
+                             "(long/repetitive videos)")
     parser.add_argument("--frame-buckets", type=str, default="",
                         help="comma list (e.g. '4,8'): pad the media "
                              "frame axis to the smallest bucket so mixed "
@@ -526,7 +534,8 @@ def main():
                          batch_window_ms=args.batch_window_ms,
                          max_batch=args.max_batch,
                          max_sessions=args.max_sessions,
-                         speculative=args.speculative)
+                         speculative=args.speculative,
+                         frame_mode=args.frame_mode)
     if args.warmup and worker.continuous is not None:
         worker.continuous.warmup(frames=args.num_frames)
         logger.info("continuous-batching warmup done")
