@@ -344,31 +344,50 @@ class ContinuousEngine:
                  row_hist) = self._ready.get_nowait()
             except queue.Empty:
                 return
-            (self._cache, self._valid, self._token, self._slot,
-             self._seq) = self._insert(
-                self._cache, self._valid, self._token, self._slot,
-                self._seq, row_cache, row_valid.astype(bool), tok[0],
-                jnp.asarray(np.int32(n)), jnp.int32(b))
-            self._active[b] = req
-            self._temps[b] = req.temperature
-            self._top_ps[b] = req.top_p
-            # cap generation to the slots actually available after the
-            # (compacted) prompt
-            if self._spec is None:
-                req.max_new_tokens = min(req.max_new_tokens, self.smax - n)
-            else:
-                # speculative rounds write draft_len+1 wide: keep the
-                # whole verification window in-bounds for active rows
-                req.max_new_tokens = min(
-                    req.max_new_tokens,
-                    self.smax - n - (self._spec.draft_len + 1))
-                self._hist, self._hist_len = self._insert_hist(
-                    self._hist, self._hist_len, jnp.asarray(row_hist),
-                    tok[0], jnp.asarray(np.int32(n)), jnp.int32(b))
-            # the prefill-sampled token is the first output token
-            req.out.put(int(np.asarray(tok)[0]))
-            req.emitted = 1
-            self._finish_if_done(b, int(np.asarray(tok)[0]))
+            try:
+                self._insert_row(req, tok, row_cache, row_valid, n,
+                                 row_hist, b)
+            except Exception as e:  # noqa: BLE001 — deliver, don't die
+                logger.exception("row insert failed")
+                req.out.put(e)
+                req.out.put(_DONE)
+                # donated pool buffers may be invalid now
+                for r in range(self.rows):
+                    other = self._active[r]
+                    if other is not None:
+                        other.out.put(RuntimeError("pool reset"))
+                        other.out.put(_DONE)
+                        self._active[r] = None
+                self._reset_pool()
+                return
+
+    def _insert_row(self, req, tok, row_cache, row_valid, n, row_hist,
+                    b: int):
+        (self._cache, self._valid, self._token, self._slot,
+         self._seq) = self._insert(
+            self._cache, self._valid, self._token, self._slot,
+            self._seq, row_cache, row_valid.astype(bool), tok[0],
+            jnp.asarray(np.int32(n)), jnp.int32(b))
+        self._active[b] = req
+        self._temps[b] = req.temperature
+        self._top_ps[b] = req.top_p
+        # cap generation to the slots actually available after the
+        # (compacted) prompt
+        if self._spec is None:
+            req.max_new_tokens = min(req.max_new_tokens, self.smax - n)
+        else:
+            # speculative rounds write draft_len+1 wide: keep the
+            # whole verification window in-bounds for active rows
+            req.max_new_tokens = min(
+                req.max_new_tokens,
+                self.smax - n - (self._spec.draft_len + 1))
+            self._hist, self._hist_len = self._insert_hist(
+                self._hist, self._hist_len, jnp.asarray(row_hist),
+                tok[0], jnp.asarray(np.int32(n)), jnp.int32(b))
+        # the prefill-sampled token is the first output token
+        req.out.put(int(np.asarray(tok)[0]))
+        req.emitted = 1
+        self._finish_if_done(b, int(np.asarray(tok)[0]))
 
     def _finish_if_done(self, b: int, tok: int):
         req = self._active[b]
