@@ -148,6 +148,27 @@ def test_session_compaction_extends_capacity(cfg, params):
     assert r4 == expect4, (r4, expect4)
 
 
+def test_spec_session_compaction_matches_plain(cfg, params):
+    """Cache compaction under speculative rounds: the spec session's
+    commit/trim slots line up with the plain session's, so a compacting
+    multi-turn conversation stays token-identical."""
+    from valley_tpu.inference import SpecChatSession
+    from valley_tpu.inference.speculative import SpecConfig
+
+    eng = Engine(cfg, params, buckets=(32,), max_new_tokens=4,
+                 cache_dtype=jnp.float32, use_flash=False)
+    gen = GenerationConfig(max_new_tokens=3, do_sample=False)
+    turns = [list(range(10, 20)), [40, 41, 42], [50, 51], [60, 61]]
+    outs = []
+    for cls, kw in ((ChatSession, {}),
+                    (SpecChatSession,
+                     {"spec": SpecConfig(draft_len=3,
+                                         rounds_per_call=2)})):
+        sess = cls(eng, gen, extra_slots=24, **kw)
+        outs.append([sess.chat(t, eos_ids=[-1]) for t in turns])
+    assert outs[0] == outs[1], outs
+
+
 def test_session_cache_exhaustion_raises(cfg, params):
     eng = Engine(cfg, params, buckets=(64,), max_new_tokens=4,
                  cache_dtype=jnp.float32, use_flash=False)

@@ -430,6 +430,10 @@ class ChatSession:
         self._key = jax.random.key(self.gen.seed)
         self._state = None  # (cache, valid, seq_host: int, slot: int)
         self.extra_slots = extra_slots
+        # extra cache slots a decode loop may touch beyond max_new
+        # (speculative rounds write draft-wide windows; see
+        # SpecChatSession)
+        self._decode_slack = 0
 
     @property
     def started(self) -> bool:
@@ -463,14 +467,15 @@ class ChatSession:
             start_pos = seq_host - (1 if pending is not None else 0)
             c = len(chunk)
             cb = 1 << max(4, (max(c, 2) - 1).bit_length())  # pow2 >= 16
-            if slot + cb + gen.max_new_tokens > cache.max_len:
+            budget = gen.max_new_tokens + self._decode_slack
+            if slot + cb + budget > cache.max_len:
                 # compact: pack live slots to the front, reclaiming pow2
                 # chunk padding and post-stop trimmed slots (one cache
                 # rewrite ~ milliseconds, vs the reference re-prefilling
                 # the whole conversation)
                 cache, valid, n_valid = _compact_cache(cache, valid)
                 slot = int(np.asarray(n_valid)[0])
-            if slot + cb + gen.max_new_tokens > cache.max_len:
+            if slot + cb + budget > cache.max_len:
                 raise RuntimeError(
                     f"session cache exhausted (slot={slot} live tokens, "
                     f"need {cb + gen.max_new_tokens}, "
@@ -572,6 +577,7 @@ class ChatSession:
         extra = self.extra_slots
         if extra is None:
             extra = 4 * (eng.max_new_tokens + 64)
+        extra += self._decode_slack
         tok, _logits, cache, valid = eng._prefill(
             eng.params, jnp.asarray(ids), images, jnp.asarray(lens),
             sub, gen.temperature, gen.top_p, frame_mask, bucket=bucket,

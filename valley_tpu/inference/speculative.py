@@ -276,6 +276,13 @@ class SpecChatSession(ChatSession):
         super().__init__(engine, gen, extra_slots)
         self._decoder = SpecDecoder(engine, spec)
         self._hist: list = []   # full conversation ids (lookup table)
+        # Rounds write (draft_len+1)-wide KV windows and the final call
+        # may run up to rounds_per_call rounds past the kept tokens, so
+        # the session must keep this many slots free beyond max_new
+        # (mirrors SpecDecoder's stateless cache_len slack).  chat()'s
+        # capacity check + compaction use it via the base class.
+        sp = self._decoder.spec
+        self._decode_slack = (sp.rounds_per_call + 1) * (sp.draft_len + 1)
 
     def chat(self, new_ids, images=None, tokenizer=None, eos_ids=(2,),
              on_token=None) -> list:
@@ -302,10 +309,11 @@ class SpecChatSession(ChatSession):
 
         # device-side lookup history: conversation so far + this reply.
         # pow2-padded so the jitted rounds recompile only on log growth;
-        # slack covers the last round's full-width pred write.
+        # slack covers device-side emission overshoot (the final call
+        # runs its full round count even after max_new kept tokens).
         n0 = len(self._hist)
         d1 = spec.draft_len + 1
-        need = n0 + 1 + max_new + 2 * d1
+        need = n0 + 1 + max_new + (spec.rounds_per_call + 1) * d1
         hmax = 1 << max(8, (need - 1).bit_length())
         hist = np.zeros((hmax,), np.int32)
         hist[:n0] = self._hist
