@@ -151,6 +151,24 @@ def test_frame_buckets_one_executable_and_matching_tokens(cfg, params):
     assert exact._prefill._cache_size() == 2      # per-shape without
 
 
+def test_completion_speculative_matches_plain(cfg, params):
+    from valley_tpu.inference.generate import completion
+
+    tk = ByteFallbackTokenizer()
+    wcfg = cfg.replace(tokens=tk.special_tokens())
+    wparams = valley.init_params(wcfg, jax.random.key(0), jnp.float32)
+    eng = Engine(wcfg, wparams, buckets=(512,), max_new_tokens=8,
+                 cache_dtype=jnp.float32, use_flash=False)
+    frames = np.zeros((2, 3, wcfg.vision.image_size,
+                       wcfg.vision.image_size), np.float32)
+    msgs = [{"role": "user", "content": "what happens? <video>"}]
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False)
+    plain = completion(eng, tk, None, msgs, gen, frames=frames)
+    spec = completion(eng, tk, None, msgs, gen, frames=frames,
+                      speculative=True)
+    assert plain == spec
+
+
 def test_build_prompt_golden():
     msgs = [
         {"role": "system", "content": "SYS"},

@@ -16,6 +16,10 @@ def __getattr__(name):
         from valley_tpu.inference import engine as _engine
 
         return getattr(_engine, name)
+    if name in ("SpecDecoder", "SpecChatSession", "SpecConfig"):
+        from valley_tpu.inference import speculative as _spec
+
+        return getattr(_spec, name)
     if name == "load_valley_checkpoint":
         from valley_tpu.utils.hf_bridge import load_valley_checkpoint
 

@@ -356,20 +356,30 @@ class Engine:
         `model_worker.py:406-419`)."""
         gen = gen or GenerationConfig()
         eos = [getattr(tokenizer, "eos_token_id", 2) or 2]
-        out_tokens: list[int] = []
-        text = ""
-        for step, tok in enumerate(self.generate_tokens(
-                [list(input_ids)], images, gen, eos_ids=eos)):
-            out_tokens.append(int(tok[0]))
-            if (step + 1) % gen.stream_interval == 0:
-                text = tokenizer.decode(out_tokens, skip_special_tokens=True)
-                stopped, text = _apply_stops(text, gen.stop)
-                yield text
-                if stopped:
-                    return
-        text = tokenizer.decode(out_tokens, skip_special_tokens=True)
-        _, text = _apply_stops(text, gen.stop)
-        yield text
+        yield from stream_text(
+            (int(t[0]) for t in self.generate_tokens(
+                [list(input_ids)], images, gen, eos_ids=eos)),
+            tokenizer, gen)
+
+
+def stream_text(token_iter, tokenizer, gen: GenerationConfig
+                ) -> Iterator[str]:
+    """Token-id stream -> accumulated-text chunks every stream_interval
+    tokens, with keyword stopping (shared by Engine.generate and
+    SpecDecoder.generate)."""
+    out_tokens: list[int] = []
+    text = ""
+    for step, tok in enumerate(token_iter):
+        out_tokens.append(int(tok))
+        if (step + 1) % gen.stream_interval == 0:
+            text = tokenizer.decode(out_tokens, skip_special_tokens=True)
+            stopped, text = _apply_stops(text, gen.stop)
+            yield text
+            if stopped:
+                return
+    text = tokenizer.decode(out_tokens, skip_special_tokens=True)
+    _, text = _apply_stops(text, gen.stop)
+    yield text
 
 
 def _apply_stops(text: str, stops: Sequence[str]) -> tuple[bool, str]:

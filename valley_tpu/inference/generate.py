@@ -89,11 +89,14 @@ def process_response(outputs: Sequence[str]) -> List[str]:
 def completion(engine: Engine, tokenizer, video: Optional[str],
                messages: Sequence[dict],
                gen: Optional[GenerationConfig] = None,
-               frames: Optional[np.ndarray] = None) -> List[str]:
+               frames: Optional[np.ndarray] = None,
+               speculative: bool = False) -> List[str]:
     """One-shot video/image Q&A (`valley_model.py:424-439`).
 
     ``video`` is a path decoded via the data pipeline; alternatively pass
-    preprocessed ``frames`` (T, 3, H, W) directly.
+    preprocessed ``frames`` (T, 3, H, W) directly.  ``speculative``
+    decodes via n-gram self-speculation (greedy token-identical,
+    sampling distribution-exact).
     """
     cfg: ValleyConfig = engine.cfg
     num_frames = frames.shape[0] if frames is not None else DEFAULT_NUM_FRAMES
@@ -112,7 +115,14 @@ def completion(engine: Engine, tokenizer, video: Optional[str],
     images = frames[None]  # (1, T, 3, H, W)
 
     gen = gen or GenerationConfig()
+    if speculative:
+        from valley_tpu.inference.speculative import SpecDecoder
+
+        gen_iter = SpecDecoder(engine).generate(tokenizer, input_ids,
+                                                images, gen)
+    else:
+        gen_iter = engine.generate(tokenizer, input_ids, images, gen)
     text = ""
-    for text in engine.generate(tokenizer, input_ids, images, gen):
+    for text in gen_iter:
         pass
     return process_response([text])

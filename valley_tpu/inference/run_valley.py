@@ -64,6 +64,10 @@ def main():
     parser.add_argument("--max-new-tokens", type=int, default=1024)
     parser.add_argument("--num-frames", type=int, default=8)
     parser.add_argument("--do-sample", action="store_true")
+    parser.add_argument("--speculative", action="store_true",
+                        help="n-gram self-speculative decode (greedy "
+                             "token-identical, sampling "
+                             "distribution-exact)")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -80,7 +84,8 @@ def main():
     gen = GenerationConfig(max_new_tokens=args.max_new_tokens,
                            temperature=args.temperature,
                            do_sample=args.do_sample)
-    response = completion(engine, tokenizer, args.video_file, messages, gen)
+    response = completion(engine, tokenizer, args.video_file, messages,
+                          gen, speculative=args.speculative)
     print(response[0])
 
 

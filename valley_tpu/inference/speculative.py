@@ -255,6 +255,21 @@ class SpecDecoder:
                         return
 
 
+    def generate(self, tokenizer, input_ids: Sequence[int],
+                 images: Optional[np.ndarray] = None,
+                 gen: Optional[GenerationConfig] = None):
+        """Streaming text chunks — SpecDecoder drop-in for
+        Engine.generate (same stream_interval/keyword-stop behavior)."""
+        from valley_tpu.inference.engine import stream_text
+
+        gen = gen or GenerationConfig()
+        eos = [getattr(tokenizer, "eos_token_id", 2) or 2]
+        yield from stream_text(
+            self.generate_tokens(list(input_ids), images, gen,
+                                 eos_ids=eos),
+            tokenizer, gen)
+
+
 class SpecChatSession(ChatSession):
     """ChatSession whose decode loop runs self-speculative rounds
     (B=1).  Multi-turn chat is where prompt-lookup drafting shines:
