@@ -232,6 +232,27 @@ def test_spec_chat_session_sampling_smoke(cfg, params):
         assert all(0 <= t < cfg.text.vocab_size for t in r)
 
 
+def test_spec_composes_with_int8_weights_and_kv(cfg):
+    """The serving flagship combo: --speculative --quantize int8
+    --kv-cache int8 — speculative greedy must equal plain greedy under
+    the same quantization."""
+    import jax.numpy as jnp
+
+    from valley_tpu.ops.quant import quantize_llama_params
+
+    params = valley.init_params(cfg, jax.random.key(1), jnp.float32)
+    qparams = quantize_llama_params(params)
+    eng = Engine(cfg, qparams, buckets=(128,), max_new_tokens=16,
+                 cache_dtype=jnp.int8, use_flash=False, steps_per_call=4)
+    dec = SpecDecoder(eng, SpecConfig(draft_len=4, rounds_per_call=2))
+    gen = GenerationConfig(max_new_tokens=16, do_sample=False)
+    prompt = [7, 8, 9, 7, 8, 9, 7, 8] + list(range(10, 24))
+    ref = [int(t[0]) for t in eng.generate_tokens([prompt], None, gen,
+                                                  eos_ids=[-1])]
+    got = list(dec.generate_tokens(prompt, None, gen, eos_ids=[-1]))
+    assert got == ref, (got, ref)
+
+
 def test_worker_speculative_stream_matches_plain(cfg):
     """A --speculative worker streams the same final text as a plain
     worker for a greedy request."""
