@@ -5,13 +5,20 @@ decode tokens/sec/chip — using the jit-compiled engine on random bf16
 weights (math/shapes identical to real weights).  Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline"}.
 
-Benched config = the flagship serving mode: bf16 weights + int8 KV cache
-(per-slot-per-head absmax scales, `models/llama.py:_quantize_kv`; fidelity
-tests in tests/test_kv_quant.py) with a 256-token generation fused into
-one 255-step decode executable (dispatch through the axon tunnel costs
+Benched config = the flagship high-throughput serving mode (the round-1
+verdict's sanctioned switch): **int8 weights** (per-output-channel
+symmetric, `ops/quant.py`; fidelity + composition tests in
+tests/test_quant.py, tests/test_speculative.py) + int8 KV cache
+(per-slot-per-head absmax scales, `models/llama.py:_quantize_kv`;
+tests/test_kv_quant.py), with a 256-token generation fused into one
+255-step decode executable (dispatch through the axon tunnel costs
 ~25 ms/call; one long scan amortizes it to ~0.1 ms/token).
-Override with VALLEY_BENCH_KV=bf16 / VALLEY_BENCH_STEPS=n /
-VALLEY_BENCH_NEW=n.
+``vs_baseline`` uses the int8 weight bytes — the roofline is recomputed
+for what the benched config actually streams, not inherited from bf16
+(measured context: bf16 runs 53.4 tok/s at 0.875 of ITS spec roofline,
+0.95 of the measured achievable rate; ROUND_NOTES.md round 2).
+Override with VALLEY_BENCH_QUANT=bf16 / VALLEY_BENCH_KV=bf16 /
+VALLEY_BENCH_STEPS=n / VALLEY_BENCH_NEW=n.
 
 ``vs_baseline``: the reference publishes no throughput numbers
 (BASELINE.md), so the ratio is computed against the HBM roofline for
@@ -68,7 +75,10 @@ def main():
         frames_n, seq_bucket = 8, 512
         decode_n = int(os.environ.get("VALLEY_BENCH_NEW", 256))
 
-    quant = os.environ.get("VALLEY_BENCH_QUANT") == "int8"
+    # int8 weights are the benched default on the real 7B config; tiny
+    # (CPU smoke) and explicit VALLEY_BENCH_QUANT=bf16 stay bf16
+    quant = os.environ.get(
+        "VALLEY_BENCH_QUANT", "int8" if size != "tiny" else "bf16") == "int8"
     dtype = jnp.bfloat16
     if size == "tiny":
         params = valley.init_params(cfg, jax.random.key(0), dtype=dtype)
@@ -142,9 +152,10 @@ def main():
                     * (1 if cache_dtype == jnp.int8 else 2))
     streamed = llama_bytes - embed_bytes + kv_bytes_tok
     ach_tps = HBM_ACH_GBPS * 1e9 / streamed
+    wdtype = "int8" if quant else "bf16"
     result = {
         "metric": f"valley-{size} 8-frame video decode throughput "
-                  f"(first_token_s={best_first:.3f}, "
+                  f"({wdtype} weights, first_token_s={best_first:.3f}, "
                   f"ach={best_tps / ach_tps:.3f} of measured "
                   f"speed-of-light)",
         "value": round(best_tps, 3),
