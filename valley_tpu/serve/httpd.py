@@ -21,6 +21,16 @@ logger = logging.getLogger(__name__)
 Handler = Callable[[dict], Union[dict, Iterator[bytes], Tuple[int, dict]]]
 
 
+class StreamResponse:
+    """Wrap a bytes iterator with an explicit Content-Type (e.g.
+    ``text/event-stream`` for SSE endpoints like /v1/chat/completions)."""
+
+    def __init__(self, iterator: Iterator[bytes],
+                 content_type: str = "application/octet-stream"):
+        self.iterator = iterator
+        self.content_type = content_type
+
+
 class JsonHttpServer:
     """Route registry + threading HTTP server.
 
@@ -92,10 +102,13 @@ class JsonHttpServer:
                     self.send_header("Content-Length", str(len(data)))
                     self.end_headers()
                     self.wfile.write(data)
-                else:  # streaming iterator
+                else:  # streaming iterator (optionally typed)
+                    ctype = "application/octet-stream"
+                    if isinstance(result, StreamResponse):
+                        ctype = result.content_type
+                        result = result.iterator
                     self.send_response(200)
-                    self.send_header("Content-Type",
-                                     "application/octet-stream")
+                    self.send_header("Content-Type", ctype)
                     self.send_header("Transfer-Encoding", "chunked")
                     self.end_headers()
                     try:

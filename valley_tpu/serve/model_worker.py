@@ -405,6 +405,10 @@ def build_app(worker: ModelWorker) -> JsonHttpServer:
     def worker_get_status(_data):
         return worker.get_status()
 
+    # OpenAI-compatible /v1/chat/completions + /v1/models (beyond parity)
+    from valley_tpu.serve.openai_api import register_openai_routes
+
+    register_openai_routes(app, worker)
     return app
 
 
