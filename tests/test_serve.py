@@ -312,3 +312,27 @@ def test_load_engine_kv_cache_flag():
         [ids], None, GenerationConfig(max_new_tokens=6, do_sample=False),
         eos_ids=[-1])]
     assert len(toks) == 6
+
+
+def test_cli_chat_loop_speculative_matches_plain(engine_and_tokenizer):
+    """The CLI REPL (scripted IO) produces the same greedy replies with
+    and without --speculative."""
+    from valley_tpu.serve.cli import chat_loop
+
+    _eng, tk = engine_and_tokenizer
+    cfg = _eng.cfg
+    eng = Engine(cfg, _eng.params, buckets=(512,), max_new_tokens=16,
+                 cache_dtype=jnp.float32, use_flash=False)
+    outs = []
+    for spec in (False, True):
+        script = iter(["hello there", "tell me more", ""])
+        printed: list = []
+        chat_loop(eng, tk, "v1", temperature=0.0, max_new_tokens=6,
+                  video=None, num_frames=2,
+                  input_fn=lambda _p: next(script),
+                  print_fn=lambda *a, **k: printed.append(
+                      " ".join(str(x) for x in a)),
+                  speculative=spec)
+        outs.append(printed)
+    assert outs[0] == outs[1], outs
+    assert any("exit..." in line for line in outs[0])

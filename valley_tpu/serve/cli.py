@@ -17,7 +17,7 @@ from valley_tpu.inference.engine import GenerationConfig
 def chat_loop(engine, tokenizer, conv_mode: str = "v1",
               temperature: float = 0.7, max_new_tokens: int = 512,
               video: str | None = None, num_frames: int = 8,
-              input_fn=input, print_fn=print):
+              input_fn=input, print_fn=print, speculative=False):
     conv = conv_templates[conv_mode].copy()
     images = None
     if video is not None:
@@ -30,7 +30,11 @@ def chat_loop(engine, tokenizer, conv_mode: str = "v1",
                           scale_size=max(size * 256 // 224, size))
         images = np.transpose(clip, (1, 0, 2, 3))[None]
 
-    from valley_tpu.inference.engine import ChatSession
+    if speculative:
+        from valley_tpu.inference.speculative import \
+            SpecChatSession as ChatSession
+    else:
+        from valley_tpu.inference.engine import ChatSession
     from valley_tpu.inference.generate import media_replace_token
 
     gen = GenerationConfig(max_new_tokens=max_new_tokens,
@@ -89,6 +93,10 @@ def main():
     parser.add_argument("--temperature", type=float, default=0.7)
     parser.add_argument("--max-new-tokens", type=int, default=512)
     parser.add_argument("--buckets", type=str, default="256,512,1024,2048")
+    parser.add_argument("--speculative", action="store_true",
+                        help="n-gram self-speculative decode (greedy "
+                             "token-identical, sampling "
+                             "distribution-exact)")
     args = parser.parse_args()
     logging.basicConfig(level=logging.WARNING)
 
@@ -96,7 +104,8 @@ def main():
 
     engine, tokenizer = load_engine(args)
     chat_loop(engine, tokenizer, args.conv_mode, args.temperature,
-              args.max_new_tokens, args.video, args.num_frames)
+              args.max_new_tokens, args.video, args.num_frames,
+              speculative=args.speculative)
 
 
 if __name__ == "__main__":
