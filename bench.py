@@ -76,9 +76,12 @@ def main():
         decode_n = int(os.environ.get("VALLEY_BENCH_NEW", 256))
 
     # int8 weights are the benched default on the real 7B config; tiny
-    # (CPU smoke) and explicit VALLEY_BENCH_QUANT=bf16 stay bf16
-    quant = os.environ.get(
-        "VALLEY_BENCH_QUANT", "int8" if size != "tiny" else "bf16") == "int8"
+    # (CPU smoke) and explicit VALLEY_BENCH_QUANT=bf16 stay bf16;
+    # VALLEY_BENCH_QUANT=int4 benches the experimental in-executable
+    # int4 decode (ops/quant.py int4_decode_view)
+    qmode = os.environ.get(
+        "VALLEY_BENCH_QUANT", "int8" if size != "tiny" else "bf16")
+    quant = qmode in ("int8", "int4")
     dtype = jnp.bfloat16
     if size == "tiny":
         params = valley.init_params(cfg, jax.random.key(0), dtype=dtype)
@@ -94,7 +97,8 @@ def main():
     if quant:
         from valley_tpu.ops.quant import quantize_llama_params
 
-        params = quantize_llama_params(params)
+        params = quantize_llama_params(
+            params, bits=4 if qmode == "int4" else 8)
     jax.block_until_ready(params)
 
     cache_dtype = dtype if (size == "tiny"
@@ -102,6 +106,7 @@ def main():
                             ) else jnp.int8
     engine = Engine(cfg, params, buckets=(seq_bucket,),
                     max_new_tokens=decode_n, cache_dtype=cache_dtype,
+                    decode_w4=qmode == "int4",
                     steps_per_call=int(os.environ.get(
                         "VALLEY_BENCH_STEPS", max(decode_n - 1, 1))))
 
@@ -139,6 +144,16 @@ def main():
 
     # decode roofline: every token reads all decoder+head params once
     llama_bytes = param_bytes({"llama": params["llama"]})
+    if qmode == "int4":
+        # the decode scan streams the in-executable int4 VIEW of the
+        # int8-stored weights: count those tensors at 0.5 B/weight
+        from valley_tpu.ops.quant import QUANT_TARGETS
+
+        lay = params["llama"]["layers"]
+        conv = sum(lay[k].size for k in QUANT_TARGETS
+                   if k in lay and lay[k].dtype == jnp.int8)
+        conv += params["llama"]["lm_head"].size
+        llama_bytes -= conv // 2
     roofline_tps = HBM_GBPS * 1e9 / llama_bytes
     # measured speed-of-light context: bytes a token ACTUALLY streams
     # (weights minus the gathered embed table, plus avg KV reads) at the
@@ -152,7 +167,7 @@ def main():
                     * (1 if cache_dtype == jnp.int8 else 2))
     streamed = llama_bytes - embed_bytes + kv_bytes_tok
     ach_tps = HBM_ACH_GBPS * 1e9 / streamed
-    wdtype = "int8" if quant else "bf16"
+    wdtype = qmode if quant else "bf16"
     result = {
         "metric": f"valley-{size} 8-frame video decode throughput "
                   f"({wdtype} weights, first_token_s={best_first:.3f}, "

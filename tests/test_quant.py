@@ -110,3 +110,47 @@ def test_quantize_idempotent(cfg, params):
     q1 = quantize_llama_params(jax.tree.map(jnp.copy, params))
     q2 = quantize_llama_params(q1)  # already int8 -> no-op
     assert q2["llama"]["layers"]["wq"].dtype == jnp.int8
+
+
+def test_quantize_bits4_roundtrip():
+    from valley_tpu.ops.quant import quantize_tensor
+
+    w = jax.random.normal(jax.random.key(0), (32, 48)) * 0.1
+    q, scale = quantize_tensor(w, bits=4)
+    assert q.dtype == jnp.int8
+    assert int(jnp.max(jnp.abs(q))) <= 7
+    deq = q.astype(jnp.float32) * scale.astype(jnp.float32)[:, None]
+    # int4 per-channel: ~1/14 of the channel absmax worst case
+    err = jnp.max(jnp.abs(deq - w) / jnp.max(jnp.abs(w), axis=1,
+                                             keepdims=True))
+    assert float(err) <= 1 / 14 + 1e-3
+
+
+def test_decode_w4_token_identical_to_int8_storage(cfg, params):
+    """bits=4 params: the in-executable int4 view is numerically exact,
+    so decode_w4=True must match decode_w4=False token-for-token."""
+    q4 = quantize_llama_params(jax.tree.map(jnp.copy, params), bits=4)
+    gen = GenerationConfig(max_new_tokens=10, do_sample=False)
+    outs = []
+    for w4 in (False, True):
+        eng = Engine(cfg, q4, buckets=(64,), max_new_tokens=10,
+                     cache_dtype=jnp.float32, use_flash=False,
+                     steps_per_call=4, decode_w4=w4)
+        outs.append([int(t[0]) for t in eng.generate_tokens(
+            [list(range(10, 30))], gen=gen, eos_ids=[-1])])
+    assert outs[0] == outs[1], outs
+
+
+def test_bits4_forward_close(cfg, params):
+    """4-bit weights still produce usable logits on the tiny model
+    (loose bound; per-channel symmetric without group scales)."""
+    from valley_tpu.models import llama as llama_mod
+
+    q4 = quantize_llama_params(jax.tree.map(jnp.copy, params), bits=4)
+    x = jnp.asarray([[5, 6, 7, 8]])
+    ref = llama_mod.forward(params["llama"], cfg.text,
+                            llama_mod.embed(params["llama"], x))
+    got = llama_mod.forward(q4["llama"], cfg.text,
+                            llama_mod.embed(q4["llama"], x))
+    rel = float(jnp.mean(jnp.abs(got - ref)) / jnp.mean(jnp.abs(ref)))
+    assert rel < 0.5, rel

@@ -158,10 +158,11 @@ def _proj(lp, name: str, x: jnp.ndarray, lora_rng=None,
     matmul.  ``W`` is stored (out, in) — torch nn.Linear layout, see
     init_params."""
     w = lp[name]
-    if w.dtype == jnp.int8:
-        # per-out-channel scale (out,); XLA's fused int8 dequant-dot beats
+    if w.dtype in (jnp.int8, jnp.int4):
+        # per-out-channel scale (out,); XLA's fused int dequant-dot beats
         # the Pallas tile-streaming matvec (78 vs 58 tok/s measured), so
-        # there is no kernel dispatch here.
+        # there is no kernel dispatch here.  int4 operands appear only
+        # inside fused decode executables (ops/quant.int4_decode_view).
         scale = lp[name + "_scale"]
         out = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype),
                          preferred_element_type=jnp.float32)
@@ -588,7 +589,7 @@ def forward_hidden(params, cfg: TextConfig, inputs_embeds: jnp.ndarray,
 
 def logits_from_hidden(params, hidden: jnp.ndarray) -> jnp.ndarray:
     w = params["lm_head"]
-    if w.dtype == jnp.int8:
+    if w.dtype in (jnp.int8, jnp.int4):
         y = jnp.einsum("...i,io->...o", hidden, w.astype(hidden.dtype),
                        preferred_element_type=jnp.float32)
         return y * params["lm_head_scale"].astype(jnp.float32)

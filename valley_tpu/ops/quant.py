@@ -1,18 +1,28 @@
-"""Weight-only int8 quantization for serving.
+"""Weight-only int8 / int4 quantization for serving.
 
-Symmetric per-output-channel int8 on the decoder's large matmuls +
-lm_head: halves the HBM bytes read per decoded token, which is the decode
-roofline (single-stream decode reads every weight once per token).  The
-dequant (int8 -> bf16 * scale) fuses into the matmul operand load under
-XLA; activations and the KV cache stay bf16.
+Symmetric per-output-channel quantization on the decoder's large
+matmuls + lm_head: halves (int8) the HBM bytes read per decoded token,
+which is the decode roofline (single-stream decode reads every weight
+once per token).  The dequant (int -> bf16 * scale) fuses into the
+matmul operand load under XLA; activations and the KV cache stay
+bf16/int8.
+
+``bits=4`` quantizes to the int4 range but STORES int8 (device-resident
+S4 buffers crash this toolchain's jit-boundary transfer —
+tools/exp_int4.py); the decode executable converts to real int4 ONCE
+per fused multi-step call (`int4_decode_view`), so the scan's steps
+stream int4 bytes (measured 2.2x faster weight reads than the same
+dequant-dot over int8, tools/exp_int4b.py).
 
 Usage: ``params = quantize_llama_params(params)`` before building the
-Engine.  `llama._proj` / `logits_from_hidden` detect int8 weights via
-dtype and apply the stored ``<name>_scale``.
+Engine (``bits=4`` + ``Engine(decode_w4=True)`` for the int4 decode
+path).  `llama._proj` / `logits_from_hidden` detect quantized weights
+via dtype and apply the stored ``<name>_scale``.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -22,40 +32,44 @@ QUANT_TARGETS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
                  "wqkv", "w_gateup")   # last two: fused serving layout
 
 
-def _quantize_one(w: jnp.ndarray, contract_axis: int = -1):
-    """Symmetric per-out-channel int8 over the contraction axis.
+def _quantize_one(w: jnp.ndarray, contract_axis: int = -1,
+                  bits: int = 8):
+    """Symmetric per-out-channel quantization over the contraction axis.
 
     Layer weights are stored (out, in) (see `llama.init_params`), so the
     contraction axis is -1 and the scale is (out,); the lm_head stays
-    (in, out), contraction axis -2, scale (1, out)."""
-    # bf16 math: int8 magnitudes are exactly representable, no fp32 copy
+    (in, out), contraction axis -2, scale (1, out).  ``bits=4`` clips to
+    [-7, 7] (int8 storage; see module docstring)."""
+    qmax = 127.0 if bits == 8 else 7.0
+    # bf16 math: int magnitudes are exactly representable, no fp32 copy
     amax = jnp.max(jnp.abs(w), axis=contract_axis,
                    keepdims=True).astype(jnp.float32)
-    scale = jnp.where(amax > 0, amax / 127.0, 1.0).astype(w.dtype)
-    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    scale = jnp.where(amax > 0, amax / qmax, 1.0).astype(w.dtype)
+    q = jnp.clip(jnp.round(w / scale), -qmax, qmax).astype(jnp.int8)
     if contract_axis == -1:
         scale = scale[..., 0]            # (out,)
     return q, scale.astype(jnp.bfloat16)
 
 
-@jax.jit
-def _quantize_stacked(w: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _quantize_stacked(w: jnp.ndarray, bits: int = 8):
     """(L, out, in) quantized one layer at a time (lax.map) so the
     transient is one layer, not the whole 2.9-6 GB stack."""
-    return jax.lax.map(_quantize_one, w)
+    return jax.lax.map(lambda x: _quantize_one(x, -1, bits), w)
 
 
-def quantize_tensor(w: jnp.ndarray, contract_axis: int = -1):
-    """Symmetric int8 over the contraction axis (default: (out, in)
-    layout, scale (out,))."""
+def quantize_tensor(w: jnp.ndarray, contract_axis: int = -1,
+                    bits: int = 8):
+    """Symmetric int8/int4-range over the contraction axis (default:
+    (out, in) layout, scale (out,))."""
     if w.ndim == 3 and contract_axis == -1:
-        return _quantize_stacked(w)
-    return _quantize_one(w, contract_axis)
+        return _quantize_stacked(w, bits)
+    return _quantize_one(w, contract_axis, bits)
 
 
 def quantize_llama_params(params, targets: Sequence[str] = QUANT_TARGETS,
-                          quantize_lm_head: bool = True):
-    """Quantize the decoder weights to int8.
+                          quantize_lm_head: bool = True, bits: int = 8):
+    """Quantize the decoder weights to int8 (or the int4 range, bits=4).
 
     CONSUMES the input tree: original bf16 arrays are dropped tensor by
     tensor so peak device memory stays ~(full model + one layer) — a 7B
@@ -66,15 +80,37 @@ def quantize_llama_params(params, targets: Sequence[str] = QUANT_TARGETS,
     for name in targets:
         if name not in layers or layers[name].dtype == jnp.int8:
             continue
-        q, scale = quantize_tensor(layers[name])
+        q, scale = quantize_tensor(layers[name], bits=bits)
         jax.block_until_ready(q)
         layers[name] = q                 # drop the bf16 stack before the
         layers[name + "_scale"] = scale  # next tensor quantizes
     if quantize_lm_head and llama_p["lm_head"].dtype != jnp.int8:
-        q, scale = quantize_tensor(llama_p["lm_head"], contract_axis=-2)
+        q, scale = quantize_tensor(llama_p["lm_head"], contract_axis=-2,
+                                   bits=bits)
         jax.block_until_ready(q)
         llama_p["lm_head"] = q
         llama_p["lm_head_scale"] = scale
+    return params
+
+
+def int4_decode_view(params):
+    """int8-stored 4-bit weights -> real int4 arrays, for use INSIDE a
+    fused decode executable (int4 buffers cannot cross jit boundaries on
+    this toolchain — tools/exp_int4.py).  The cast is numerically exact
+    (values already in [-7, 7] from ``quantize_llama_params(bits=4)``);
+    the one-time conversion amortizes over the multi-step decode scan,
+    whose steps then stream int4 bytes from HBM (tools/exp_int4b.py:
+    2.2x faster weight reads than int8)."""
+    params = dict(params)
+    llama_p = dict(params["llama"])
+    layers = dict(llama_p["layers"])
+    for name in QUANT_TARGETS:
+        if name in layers and layers[name].dtype == jnp.int8:
+            layers[name] = layers[name].astype(jnp.int4)
+    llama_p["layers"] = layers
+    if llama_p.get("lm_head") is not None and             llama_p["lm_head"].dtype == jnp.int8:
+        llama_p["lm_head"] = llama_p["lm_head"].astype(jnp.int4)
+    params["llama"] = llama_p
     return params
 
 

@@ -453,10 +453,11 @@ def load_engine(args):
         tokenizer = ByteFallbackTokenizer()
         cfg = C.valley_tiny().replace(tokens=tokenizer.special_tokens())
         params = valley.init_params(cfg, jax.random.key(0), jnp.float32)
-    if getattr(args, "quantize", None) == "int8":
+    if getattr(args, "quantize", None) in ("int8", "int4"):
         from valley_tpu.ops.quant import quantize_llama_params
 
-        params = quantize_llama_params(params)
+        params = quantize_llama_params(
+            params, bits=4 if args.quantize == "int4" else 8)
     cache_dtype = jnp.int8 if getattr(args, "kv_cache", "bf16") == "int8" \
         else jnp.bfloat16
     fb = getattr(args, "frame_buckets", "") or ""
@@ -464,6 +465,7 @@ def load_engine(args):
                     buckets=tuple(int(b) for b in args.buckets.split(",")),
                     max_new_tokens=args.max_new_tokens,
                     cache_dtype=cache_dtype,
+                    decode_w4=getattr(args, "quantize", None) == "int4",
                     frame_buckets=tuple(
                         int(b) for b in fb.split(",")) if fb else None)
     return engine, tokenizer
@@ -500,9 +502,12 @@ def main():
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile every bucket before registering")
     parser.add_argument("--quantize", type=str, default=None,
-                        choices=["int8"],
-                        help="weight-only int8 decoder quantization "
-                             "(~1.6x decode throughput)")
+                        choices=["int8", "int4"],
+                        help="weight-only decoder quantization: int8 "
+                             "(~1.8x decode) or experimental int4 "
+                             "(in-executable int4 decode streams; "
+                             "per-channel scales, no group-wise — "
+                             "validate quality on your checkpoint)")
     parser.add_argument("--kv-cache", type=str, default="bf16",
                         choices=["bf16", "int8"],
                         help="KV-cache dtype: int8 halves cache HBM "
