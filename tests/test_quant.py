@@ -154,3 +154,37 @@ def test_bits4_forward_close(cfg, params):
                             llama_mod.embed(q4["llama"], x))
     rel = float(jnp.mean(jnp.abs(got - ref)) / jnp.mean(jnp.abs(ref)))
     assert rel < 0.5, rel
+
+
+def test_decode_w4_composes_with_speculative(cfg, params):
+    from valley_tpu.inference.speculative import SpecConfig, SpecDecoder
+
+    q4 = quantize_llama_params(jax.tree.map(jnp.copy, params), bits=4)
+    gen = GenerationConfig(max_new_tokens=10, do_sample=False)
+    prompt = [7, 8, 9, 7, 8, 9, 7, 8] + list(range(10, 24))
+    outs = []
+    for w4 in (False, True):
+        eng = Engine(cfg, q4, buckets=(64,), max_new_tokens=10,
+                     cache_dtype=jnp.float32, use_flash=False,
+                     steps_per_call=4, decode_w4=w4)
+        dec = SpecDecoder(eng, SpecConfig(draft_len=4, rounds_per_call=2))
+        outs.append(list(dec.generate_tokens(prompt, None, gen,
+                                             eos_ids=[-1])))
+    assert outs[0] == outs[1], outs
+
+
+def test_decode_w4_composes_with_continuous(cfg, params):
+    from valley_tpu.inference.continuous import ContinuousEngine, _drain
+
+    q4 = quantize_llama_params(jax.tree.map(jnp.copy, params), bits=4)
+    eng = Engine(cfg, q4, buckets=(64,), max_new_tokens=10,
+                 cache_dtype=jnp.float32, use_flash=False,
+                 steps_per_call=2, decode_w4=True)
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False)
+    expect = [int(t[0]) for t in eng.generate_tokens(
+        [list(range(10, 30))], gen=gen, eos_ids=[-1])]
+    ce = ContinuousEngine(eng, rows=2, bucket=64, extra_slots=32,
+                          steps_per_call=2)
+    got = list(_drain(ce.submit(list(range(10, 30)), max_new_tokens=6,
+                                eos_id=-1)))
+    assert got == expect, (got, expect)

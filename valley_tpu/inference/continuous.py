@@ -147,6 +147,10 @@ class ContinuousEngine:
                      temps, top_ps, *, n_steps: int):
         cfg = self.engine.cfg
         b = token.shape[0]
+        if getattr(self.engine, "decode_w4", False):
+            from valley_tpu.ops.quant import int4_decode_view
+
+            params = int4_decode_view(params)
 
         def mark(vrow, i):
             return jax.lax.dynamic_update_slice(
@@ -203,6 +207,10 @@ class ContinuousEngine:
         d_len = self._spec.draft_len
         g = self._spec.ngram
         b = token.shape[0]
+        if getattr(self.engine, "decode_w4", False):
+            from valley_tpu.ops.quant import int4_decode_view
+
+            params = int4_decode_view(params)
 
         def body(carry, _):
             token, cache, valid, seq, slot, hist, hist_len, key = carry

@@ -138,6 +138,10 @@ class SpecDecoder:
         eng = self.engine
         cfg = eng.cfg
         d_len = self.spec.draft_len
+        if getattr(eng, "decode_w4", False):
+            from valley_tpu.ops.quant import int4_decode_view
+
+            params = int4_decode_view(params)
 
         def round_(carry, _):
             cache, valid, hist, hist_len, tok, seq, slot, key = carry
