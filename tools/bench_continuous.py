@@ -37,15 +37,18 @@ def main():
     params = jax.tree.map(lambda s: jnp.full(s.shape, 0.008, s.dtype),
                           shapes)
     jax.block_until_ready(params)
-    if os.environ.get("VALLEY_BENCH_QUANT") == "int8":
+    qmode = os.environ.get("VALLEY_BENCH_QUANT")
+    if qmode in ("int8", "int4"):
         from valley_tpu.ops.quant import quantize_llama_params
 
-        params = quantize_llama_params(params)
+        params = quantize_llama_params(params,
+                                       bits=4 if qmode == "int4" else 8)
         jax.block_until_ready(params)
 
     spec = os.environ.get("VALLEY_BENCH_SPEC") == "1"
     eng = Engine(cfg, params, buckets=(128, 512), max_new_tokens=128,
-                 cache_dtype=jnp.int8, steps_per_call=16)
+                 cache_dtype=jnp.int8, steps_per_call=16,
+                 decode_w4=qmode == "int4")
     cont = ContinuousEngine(eng, rows=rows, bucket=512,
                             extra_slots=128 + (48 if spec else 0),
                             steps_per_call=4 if spec else 16,
