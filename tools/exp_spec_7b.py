@@ -15,6 +15,7 @@ Effective tok/s for any mean acceptance m:  (1 + m) / round_time.
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/exp_spec_7b.py
 """
 
+import os
 import time
 
 import jax
@@ -37,6 +38,12 @@ def main():
         jax.random.key(0))
     params = jax.tree.map(
         lambda s: jnp.full(s.shape, 0.008, s.dtype), shapes)
+    qmode = os.environ.get("VALLEY_BENCH_QUANT")
+    if qmode in ("int8", "int4"):
+        from valley_tpu.ops.quant import quantize_llama_params
+
+        params = quantize_llama_params(params,
+                                       bits=4 if qmode == "int4" else 8)
     jax.block_until_ready(params)
 
     rng = np.random.default_rng(0)
@@ -44,7 +51,7 @@ def main():
     new = 255
 
     eng = Engine(cfg, params, buckets=(512,), max_new_tokens=new + 1,
-                 steps_per_call=new)
+                 steps_per_call=new, decode_w4=qmode == "int4")
     gen = GenerationConfig(max_new_tokens=new, do_sample=False)
 
     def run_plain():
