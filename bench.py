@@ -81,7 +81,7 @@ def main():
     # int4 decode (ops/quant.py int4_decode_view)
     qmode = os.environ.get(
         "VALLEY_BENCH_QUANT", "int8" if size != "tiny" else "bf16")
-    quant = qmode in ("int8", "int4")
+    quant = qmode in ("int8", "int4", "int4g")
     dtype = jnp.bfloat16
     if size == "tiny":
         params = valley.init_params(cfg, jax.random.key(0), dtype=dtype)
@@ -98,7 +98,8 @@ def main():
         from valley_tpu.ops.quant import quantize_llama_params
 
         params = quantize_llama_params(
-            params, bits=4 if qmode == "int4" else 8)
+            params, bits=4 if qmode.startswith("int4") else 8,
+            group_size=128 if qmode == "int4g" else 0)
     jax.block_until_ready(params)
 
     cache_dtype = dtype if (size == "tiny"
@@ -106,7 +107,7 @@ def main():
                             ) else jnp.int8
     engine = Engine(cfg, params, buckets=(seq_bucket,),
                     max_new_tokens=decode_n, cache_dtype=cache_dtype,
-                    decode_w4=qmode == "int4",
+                    decode_w4=qmode.startswith("int4"),
                     steps_per_call=int(os.environ.get(
                         "VALLEY_BENCH_STEPS", max(decode_n - 1, 1))))
 
@@ -144,7 +145,7 @@ def main():
 
     # decode roofline: every token reads all decoder+head params once
     llama_bytes = param_bytes({"llama": params["llama"]})
-    if qmode == "int4":
+    if qmode.startswith("int4"):
         # the decode scan streams the in-executable int4 VIEW of the
         # int8-stored weights: count those tensors at 0.5 B/weight
         from valley_tpu.ops.quant import QUANT_TARGETS

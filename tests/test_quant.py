@@ -188,3 +188,41 @@ def test_decode_w4_composes_with_continuous(cfg, params):
     got = list(_drain(ce.submit(list(range(10, 30)), max_new_tokens=6,
                                 eos_id=-1)))
     assert got == expect, (got, expect)
+
+
+def test_bits4_group_scales_reduce_error():
+    from valley_tpu.ops.quant import quantize_tensor
+
+    w = jax.random.normal(jax.random.key(1), (16, 256)) * \
+        (1.0 + jnp.arange(256) / 64.0)   # per-group magnitude variation
+
+    def err(q, scale, grouped):
+        if grouped:
+            g = scale.shape[-1]
+            deq = (q.reshape(16, g, -1).astype(jnp.float32)
+                   * scale.astype(jnp.float32)[..., None]).reshape(16, 256)
+        else:
+            deq = q.astype(jnp.float32) * \
+                scale.astype(jnp.float32)[:, None]
+        return float(jnp.mean(jnp.abs(deq - w)))
+
+    q_pc, s_pc = quantize_tensor(w, bits=4)
+    q_gw, s_gw = quantize_tensor(w, bits=4, group_size=64)
+    assert s_gw.shape == (16, 4)
+    e_pc = err(q_pc, s_pc, False)
+    e_gw = err(q_gw, s_gw, True)
+    assert e_gw < e_pc * 0.75, (e_pc, e_gw)
+
+
+def test_bits4_group_engine_matches_w4_view(cfg, params):
+    q4 = quantize_llama_params(jax.tree.map(jnp.copy, params), bits=4,
+                               group_size=32)
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False)
+    outs = []
+    for w4 in (False, True):
+        eng = Engine(cfg, q4, buckets=(64,), max_new_tokens=8,
+                     cache_dtype=jnp.float32, use_flash=False,
+                     steps_per_call=4, decode_w4=w4)
+        outs.append([int(t[0]) for t in eng.generate_tokens(
+            [list(range(10, 30))], gen=gen, eos_ids=[-1])])
+    assert outs[0] == outs[1], outs

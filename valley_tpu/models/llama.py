@@ -164,9 +164,22 @@ def _proj(lp, name: str, x: jnp.ndarray, lora_rng=None,
         # there is no kernel dispatch here.  int4 operands appear only
         # inside fused decode executables (ops/quant.int4_decode_view).
         scale = lp[name + "_scale"]
-        out = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype),
-                         preferred_element_type=jnp.float32)
-        out = (out * scale.astype(jnp.float32)).astype(x.dtype)
+        if scale.ndim == w.ndim:
+            # group-wise scales (out, K/group): grouped dequant-dot
+            # (quant.py `group_size`) — per-group partial sums scaled in
+            # fp32 then reduced
+            o, k = w.shape[-2:]
+            g = scale.shape[-1]
+            wg = w.reshape(o, g, k // g).astype(x.dtype)
+            xg = x.reshape(x.shape[:-1] + (g, k // g))
+            part = jnp.einsum("...gi,ogi->...og", xg, wg,
+                              preferred_element_type=jnp.float32)
+            out = jnp.sum(part * scale.astype(jnp.float32),
+                          axis=-1).astype(x.dtype)
+        else:
+            out = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype),
+                             preferred_element_type=jnp.float32)
+            out = (out * scale.astype(jnp.float32)).astype(x.dtype)
     else:
         out = jnp.einsum("...i,oi->...o", x, w)
     a = lp.get(name + "_lora_a")

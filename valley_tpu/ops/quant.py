@@ -33,14 +33,31 @@ QUANT_TARGETS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
 
 
 def _quantize_one(w: jnp.ndarray, contract_axis: int = -1,
-                  bits: int = 8):
+                  bits: int = 8, group_size: int = 0):
     """Symmetric per-out-channel quantization over the contraction axis.
 
     Layer weights are stored (out, in) (see `llama.init_params`), so the
     contraction axis is -1 and the scale is (out,); the lm_head stays
     (in, out), contraction axis -2, scale (1, out).  ``bits=4`` clips to
-    [-7, 7] (int8 storage; see module docstring)."""
+    [-7, 7] (int8 storage; see module docstring).  ``group_size`` > 0
+    (contract_axis -1 only) uses one scale per ``group_size`` input
+    channels — scale (out, K/group) — the standard int4 quality fix
+    (~4x lower reconstruction error than per-channel; `llama._proj`
+    detects the 2-D scale and runs the grouped dequant-dot).  CAUTION:
+    the grouped dot currently compiles to ~17x slower decode on v5e
+    (7.7 vs 129 tok/s measured) — XLA splits it into per-group dots
+    instead of fusing the scales; use per-channel (group_size=0) for
+    serving until the toolchain fuses this pattern."""
     qmax = 127.0 if bits == 8 else 7.0
+    if group_size and contract_axis == -1 and             w.shape[-1] % group_size == 0:
+        g = w.shape[-1] // group_size
+        wg = w.reshape(w.shape[:-1] + (g, group_size))
+        amax = jnp.max(jnp.abs(wg), axis=-1,
+                       keepdims=True).astype(jnp.float32)
+        scale = jnp.where(amax > 0, amax / qmax, 1.0).astype(w.dtype)
+        q = jnp.clip(jnp.round(wg / scale), -qmax, qmax).astype(jnp.int8)
+        return (q.reshape(w.shape),
+                scale[..., 0].astype(jnp.bfloat16))   # (..., out, G)
     # bf16 math: int magnitudes are exactly representable, no fp32 copy
     amax = jnp.max(jnp.abs(w), axis=contract_axis,
                    keepdims=True).astype(jnp.float32)
@@ -51,24 +68,28 @@ def _quantize_one(w: jnp.ndarray, contract_axis: int = -1,
     return q, scale.astype(jnp.bfloat16)
 
 
-@functools.partial(jax.jit, static_argnames=("bits",))
-def _quantize_stacked(w: jnp.ndarray, bits: int = 8):
+@functools.partial(jax.jit, static_argnames=("bits", "group_size"))
+def _quantize_stacked(w: jnp.ndarray, bits: int = 8,
+                      group_size: int = 0):
     """(L, out, in) quantized one layer at a time (lax.map) so the
     transient is one layer, not the whole 2.9-6 GB stack."""
-    return jax.lax.map(lambda x: _quantize_one(x, -1, bits), w)
+    return jax.lax.map(lambda x: _quantize_one(x, -1, bits, group_size),
+                       w)
 
 
 def quantize_tensor(w: jnp.ndarray, contract_axis: int = -1,
-                    bits: int = 8):
+                    bits: int = 8, group_size: int = 0):
     """Symmetric int8/int4-range over the contraction axis (default:
-    (out, in) layout, scale (out,))."""
+    (out, in) layout, scale (out,) — or (out, K/group) with
+    ``group_size``)."""
     if w.ndim == 3 and contract_axis == -1:
-        return _quantize_stacked(w, bits)
-    return _quantize_one(w, contract_axis, bits)
+        return _quantize_stacked(w, bits, group_size)
+    return _quantize_one(w, contract_axis, bits, group_size)
 
 
 def quantize_llama_params(params, targets: Sequence[str] = QUANT_TARGETS,
-                          quantize_lm_head: bool = True, bits: int = 8):
+                          quantize_lm_head: bool = True, bits: int = 8,
+                          group_size: int = 0):
     """Quantize the decoder weights to int8 (or the int4 range, bits=4).
 
     CONSUMES the input tree: original bf16 arrays are dropped tensor by
@@ -80,7 +101,8 @@ def quantize_llama_params(params, targets: Sequence[str] = QUANT_TARGETS,
     for name in targets:
         if name not in layers or layers[name].dtype == jnp.int8:
             continue
-        q, scale = quantize_tensor(layers[name], bits=bits)
+        q, scale = quantize_tensor(layers[name], bits=bits,
+                                   group_size=group_size)
         jax.block_until_ready(q)
         layers[name] = q                 # drop the bf16 stack before the
         layers[name + "_scale"] = scale  # next tensor quantizes
