@@ -283,3 +283,21 @@ def test_worker_speculative_stream_matches_plain(cfg):
         finally:
             app.shutdown()
     assert texts[0] == texts[1]
+
+
+def test_draft_lookup_prefers_longest_match(cfg, params):
+    import jax.numpy as jnp
+
+    from valley_tpu.inference.speculative import ngram_draft
+
+    # tail is (5, 6, 7).  A LATER 2-gram match (6, 7) continues with 99;
+    # an earlier full 3-gram match (5, 6, 7) continues with 42.
+    hist = jnp.asarray([5, 6, 7, 42, 43, 0, 6, 7, 99, 98, 5, 6, 7]
+                       + [0] * 3, jnp.int32)
+    n = jnp.int32(13)
+    # depth-2 lookup: latest (6,7) wins -> 99
+    np.testing.assert_array_equal(
+        np.asarray(ngram_draft(hist, n, 2, ngram=2)), [99, 98])
+    # depth-3 lookup prefers the full (5,6,7) context -> 42
+    np.testing.assert_array_equal(
+        np.asarray(ngram_draft(hist, n, 2, ngram=3)), [42, 43])

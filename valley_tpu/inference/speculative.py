@@ -48,26 +48,34 @@ from valley_tpu.models import llama
 
 def ngram_draft(hist: jnp.ndarray, hist_len, draft_len: int,
                 ngram: int = 2) -> jnp.ndarray:
-    """Latest-match n-gram lookup over the token history.
+    """Longest-match-first n-gram lookup over the token history.
 
     hist: (Hmax,) int32; returns (draft_len,) proposed continuation
     (garbage when no match — verification rejects it, costing
-    nothing: every round still emits >= 1 correct token)."""
-    g = ngram
+    nothing: every round still emits >= 1 correct token).
+
+    Match lengths ``ngram .. 2`` are tried deepest-first (a longer
+    matched context predicts the continuation better — standard
+    prompt-lookup practice); within a length, the LATEST occurrence
+    wins."""
     hmax = hist.shape[0]
     idx = jnp.arange(hmax)
-    # gram[i] marks a match of hist[i : i+g] against the last g tokens
-    ok = jnp.ones((hmax,), bool)
-    for j in range(g):
-        tail = jax.lax.dynamic_index_in_dim(
-            hist, hist_len - g + j, keepdims=False)
-        ok = jnp.logical_and(
-            ok, jnp.roll(hist, -j) == tail)
-    # candidate start must leave room and precede the tail itself
-    ok = jnp.logical_and(ok, idx + g <= hist_len - g)
-    j_star = jnp.argmax(jnp.where(ok, idx, -1))       # latest match
-    has = jnp.any(ok)
-    start = jnp.where(has, j_star + g, 0)
+    start = jnp.int32(0)
+    found = jnp.bool_(False)
+    for g in range(max(2, ngram), 1, -1):
+        # ok[i] marks a match of hist[i : i+g] against the last g tokens
+        ok = jnp.ones((hmax,), bool)
+        for j in range(g):
+            tail = jax.lax.dynamic_index_in_dim(
+                hist, hist_len - g + j, keepdims=False)
+            ok = jnp.logical_and(ok, jnp.roll(hist, -j) == tail)
+        # candidate start must leave room and precede the tail itself
+        ok = jnp.logical_and(ok, idx + g <= hist_len - g)
+        j_star = jnp.argmax(jnp.where(ok, idx, -1))   # latest match
+        has = jnp.any(ok)
+        start = jnp.where(jnp.logical_and(has, ~found), j_star + g,
+                          start)
+        found = jnp.logical_or(found, has)
     return jax.lax.dynamic_slice(hist, (start,), (draft_len,))
 
 
@@ -112,7 +120,7 @@ def _spec_sample_round(probs: jnp.ndarray, draft: jnp.ndarray,
 @dataclasses.dataclass
 class SpecConfig:
     draft_len: int = 8        # drafted tokens per round (D)
-    ngram: int = 2            # match length for the history lookup
+    ngram: int = 2            # MAX match length (tried deepest-first)
     rounds_per_call: int = 16  # fused rounds per device call
 
 
