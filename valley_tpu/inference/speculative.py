@@ -120,7 +120,7 @@ def _spec_sample_round(probs: jnp.ndarray, draft: jnp.ndarray,
 @dataclasses.dataclass
 class SpecConfig:
     draft_len: int = 8        # drafted tokens per round (D)
-    ngram: int = 2            # MAX match length (tried deepest-first)
+    ngram: int = 3            # MAX match length (tried deepest-first)
     rounds_per_call: int = 16  # fused rounds per device call
 
 
