@@ -65,3 +65,22 @@ def test_tp_multimodal_inference(cfg, params):
                      cache_dtype=jnp.float32, use_flash=False, mesh=mesh)
     got = _gen(sharded, prompt, images, n=4)
     assert got == expect
+
+
+def test_tp_speculative_matches_single_device(cfg, params):
+    """Speculative rounds under tensor parallelism: TP spec greedy must
+    equal single-device plain greedy token-for-token."""
+    from valley_tpu.inference.speculative import SpecConfig, SpecDecoder
+
+    prompt = [7, 8, 9, 7, 8, 9, 7, 8] + list(range(10, 30))
+    base = Engine(cfg, params, buckets=(64,), max_new_tokens=8,
+                  cache_dtype=jnp.float32, use_flash=False)
+    expect = _gen(base, prompt, n=8)
+
+    mesh = create_mesh(1, 2, 2)
+    sharded = Engine(cfg, params, buckets=(64,), max_new_tokens=8,
+                     cache_dtype=jnp.float32, use_flash=False, mesh=mesh)
+    dec = SpecDecoder(sharded, SpecConfig(draft_len=4, rounds_per_call=2))
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False)
+    got = list(dec.generate_tokens(prompt, None, gen, eos_ids=[-1]))
+    assert got == expect, (got, expect)
