@@ -179,3 +179,71 @@ def test_session_cache_exhaustion_raises(cfg, params):
     with pytest.raises(RuntimeError):
         for _ in range(20):
             sess.chat(list(range(30, 40)), eos_ids=[-1])
+
+
+# -- shared-prefix caching ----------------------------------------------
+
+def test_prefix_cache_spawn_matches_full_session(cfg, params):
+    """PrefixCache: prefill the shared prefix once; a spawned session
+    answering a question must match a plain ChatSession given the
+    full prefix+question conversation."""
+    from valley_tpu.inference import PrefixCache
+
+    eng = Engine(cfg, params, buckets=(64,), max_new_tokens=6,
+                 cache_dtype=jnp.float32, use_flash=False)
+    gen = GenerationConfig(max_new_tokens=5, do_sample=False)
+    prefix = list(range(10, 30))
+    pc = PrefixCache(eng, prefix, gen=gen)
+
+    for q in ([40, 41, 42], [50, 51]):
+        full = ChatSession(eng, gen)
+        r1 = full.chat(prefix + q, eos_ids=[-1])
+        sess = pc.spawn()
+        r2 = sess.chat(q, eos_ids=[-1])
+        assert r1 == r2, (q, r1, r2)
+        # spawned sessions keep working multi-turn
+        cont_full = full.chat([60, 61], eos_ids=[-1])
+        cont_spawn = sess.chat([60, 61], eos_ids=[-1])
+        assert cont_full == cont_spawn
+
+
+def test_prefix_cache_spawns_are_independent(cfg, params):
+    from valley_tpu.inference import PrefixCache
+
+    eng = Engine(cfg, params, buckets=(64,), max_new_tokens=6,
+                 cache_dtype=jnp.float32, use_flash=False)
+    gen = GenerationConfig(max_new_tokens=4, do_sample=False)
+    pc = PrefixCache(eng, list(range(10, 30)), gen=gen)
+    a, b = pc.spawn(), pc.spawn()
+    ra1 = a.chat([40, 41], eos_ids=[-1])
+    rb1 = b.chat([50, 51, 52], eos_ids=[-1])   # different question
+    # a's second turn unaffected by b's activity
+    ra2 = a.chat([60], eos_ids=[-1])
+    full = ChatSession(eng, gen)
+    full.chat(list(range(10, 30)) + [40, 41], eos_ids=[-1])
+    expect = full.chat([60], eos_ids=[-1])
+    assert ra2 == expect
+    assert len(rb1) == 4 and len(ra1) == 4
+
+
+def test_prefix_cache_multimodal_and_speculative(cfg, params):
+    from valley_tpu.inference import PrefixCache
+
+    eng = Engine(cfg, params, buckets=(128,), max_new_tokens=8,
+                 cache_dtype=jnp.float32, use_flash=False,
+                 steps_per_call=4)
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False)
+    tok = cfg.tokens
+    span = [tok.im_start] + [tok.im_patch] * cfg.num_patches + \
+        [tok.im_end] + [tok.vi_start] + [tok.vi_frame] * 2 + [tok.vi_end]
+    prefix = [1] + span + list(range(10, 18))
+    images = np.random.default_rng(0).standard_normal(
+        (1, 2, 3, cfg.vision.image_size, cfg.vision.image_size)
+    ).astype(np.float32)
+    pc = PrefixCache(eng, prefix, images=images, gen=gen)
+    q = [7, 8, 9, 7, 8]
+
+    full = ChatSession(eng, gen)
+    expect = full.chat(prefix + q, images=images, eos_ids=[-1])
+    assert pc.spawn().chat(q, eos_ids=[-1]) == expect
+    assert pc.spawn(speculative=True).chat(q, eos_ids=[-1]) == expect

@@ -12,7 +12,8 @@ from valley_tpu.constants import *  # noqa: F401,F403
 
 def __getattr__(name):
     # Lazy convenience exports (avoid importing jax at package import).
-    if name in ("Engine", "GenerationConfig", "ChatSession"):
+    if name in ("Engine", "GenerationConfig", "ChatSession",
+                "PrefixCache"):
         from valley_tpu.inference import engine as _engine
 
         return getattr(_engine, name)

@@ -1,4 +1,4 @@
 from valley_tpu.inference.engine import (ChatSession, Engine,
-                                         GenerationConfig)
+                                         GenerationConfig, PrefixCache)
 from valley_tpu.inference.speculative import (SpecChatSession, SpecConfig,
                                               SpecDecoder)

@@ -395,6 +395,75 @@ def stream_text(token_iter, tokenizer, gen: GenerationConfig
     yield text
 
 
+class PrefixCache:
+    """Prefill a shared prompt prefix ONCE and spawn sessions from it.
+
+    The common serving pattern this serves: many requests share the same
+    system prompt + media (e.g. different users asking about the same
+    video).  The reference re-runs the full prefill per request
+    (`model_worker.py:371-376`); here the prefix's vision encode + LLM
+    prefill happen once, and each ``spawn()`` hands a `ChatSession`
+    whose KV already contains the prefix — per-request work is just the
+    question's delta extend + decode.
+
+    Each spawn copies the prefix KV fragment on device (sessions donate
+    their cache buffers, so they cannot share one); the copy is
+    milliseconds vs the 150-400 ms prefix prefill it replaces.
+    """
+
+    def __init__(self, engine: Engine, prefix_ids: Sequence[int],
+                 images=None, gen: Optional[GenerationConfig] = None,
+                 extra_slots: Optional[int] = None):
+        self.engine = engine
+        self.gen = gen or GenerationConfig()
+        self.prefix_ids = [int(t) for t in prefix_ids]
+        self.extra_slots = extra_slots
+        eng = engine
+        n = len(self.prefix_ids)
+        bucket = eng.pick_bucket(n)
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :n] = self.prefix_ids
+        imgs, frame_mask, has_images = eng._prepare_images(images, 1)
+        extra = extra_slots if extra_slots is not None \
+            else 4 * (eng.max_new_tokens + 64)
+        # prefill only — the sampled next-token is discarded (each
+        # spawned session continues with its own delta tokens)
+        _tok, _lg, cache, valid = eng._prefill(
+            eng.params, jnp.asarray(ids), imgs, jnp.asarray([n], np.int32),
+            jax.random.key(self.gen.seed), self.gen.temperature,
+            self.gen.top_p, frame_mask, bucket=bucket,
+            cache_len=bucket + eng.max_new_tokens + extra,
+            do_sample=False, has_images=has_images)
+        jax.block_until_ready(cache.k)
+        self._cache = cache
+        self._valid = valid
+        self._seq = n
+        self._slot = bucket
+
+    def spawn(self, gen: Optional[GenerationConfig] = None,
+              speculative: bool = False, seed: Optional[int] = None
+              ) -> "ChatSession":
+        """A fresh session pre-loaded with the prefix KV.  Pass only the
+        NEW tokens (the user's question, framed with the conversation
+        separators) to its ``chat()``."""
+        gen = gen or self.gen
+        if speculative:
+            from valley_tpu.inference.speculative import SpecChatSession
+
+            sess: ChatSession = SpecChatSession(self.engine, gen)
+            sess._hist = list(self.prefix_ids)
+        else:
+            sess = ChatSession(self.engine, gen)
+        if seed is not None:
+            sess._key = jax.random.key(seed)
+        # sessions donate their cache buffers: each spawn needs its own
+        # copy of the prefix fragment
+        cache = jax.tree.map(jnp.copy, self._cache)
+        valid = jnp.copy(self._valid)
+        sess._state = (cache, valid, self._seq, self._slot, None)
+        return sess
+
+
 def _apply_stops(text: str, stops: Sequence[str]) -> tuple[bool, str]:
     for s in stops:
         idx = text.find(s)
