@@ -3,9 +3,10 @@
 Single-stream decode is HBM-bandwidth-bound — every token streams all
 13+ GB of decoder weights (ROUND_NOTES.md speed-of-light analysis), so
 the only way PAST the one-token roofline is to verify several tokens per
-weight pass.  This decoder drafts D tokens by matching the last two
-generated tokens against the prompt+history (prompt-lookup decoding — no
-draft model, no extra weights) and verifies the draft with ONE (D+1)-wide
+weight pass.  This decoder drafts D tokens by matching the last
+``ngram`` generated tokens against the prompt+history, deepest match
+first (prompt-lookup decoding — no draft model, no extra weights), and
+verifies the draft with ONE (D+1)-wide
 forward through the cache: the weight traffic of a single decode step,
 amortized over every accepted token.
 
@@ -125,7 +126,10 @@ class SpecConfig:
 
 
 class SpecDecoder:
-    """Wraps an Engine with speculative generation (B=1, greedy)."""
+    """Wraps an Engine with speculative generation (B=1; greedy is
+    token-identical to plain decode, sampling is distribution-exact —
+    see the module docstring).  Composes with int8/int4 weights, int8
+    KV caches and tensor-parallel engines (tests)."""
 
     def __init__(self, engine: Engine, spec: Optional[SpecConfig] = None):
         self.engine = engine
