@@ -83,9 +83,11 @@ def main():
            "max_new_tokens": 96, "stop": "###"}
     # warm DIRECTLY against the worker (compiles take minutes; the
     # controller proxy enforces the reference's 60 s worker timeout)
-    for _ in stream_chunks(f"http://localhost:{wport}"
-                           "/worker_generate_stream", req, timeout=600):
-        pass
+    warm = list(stream_chunks(f"http://localhost:{wport}"
+                              "/worker_generate_stream", req,
+                              timeout=600))
+    assert warm and warm[-1]["error_code"] == 0, warm[-1]
+    print(f"warm ok: {len(warm)} chunks", flush=True)
 
     t0 = time.perf_counter()
     t_first, n_chunks, final = None, 0, ""
@@ -96,6 +98,7 @@ def main():
         n_chunks += 1
         final = c["text"]
     total = time.perf_counter() - t0
+    assert c["error_code"] == 0, c
     reply = final[len(req["prompt"]):]
     # chunks stream every stream_interval=2 tokens
     n_tok = max(2 * (n_chunks - 1), 1)
