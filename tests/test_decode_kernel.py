@@ -81,3 +81,9 @@ def test_engine_tokens_identical_with_kernel():
         got_toks = [int(t[0]) for t in eng.generate_tokens(
             [prompt], images, gen, eos_ids=[-1])]
     assert got_toks == ref_toks
+
+
+def test_supports_decode_kernel_query_head_cap():
+    # m/l scratch is (h, 128)-shaped: >128 query heads is out of range
+    assert supports_decode_kernel(640, 32, 128, 1, h=32)
+    assert not supports_decode_kernel(640, 32, 128, 1, h=256)

@@ -135,3 +135,23 @@ def test_chat_completion_user_field_reuses_session(stack):
                              "max_tokens": 6, "user": "alice"})
     assert r1.status_code == 200
     assert "alice" in worker._sessions
+
+
+def test_media_part_string_and_missing_url_forms():
+    """String-form payloads ({'video_url': 'data:...'}) are accepted;
+    a part with no usable url raises ValueError (-> HTTP 400) instead of
+    silently queueing an empty payload (ADVICE r2)."""
+    from valley_tpu.serve.openai_api import _flatten_messages
+
+    payload = base64.b64encode(b"vbytes").decode()
+    msgs = [{"role": "user", "content": [
+        {"type": "text", "text": "describe"},
+        {"type": "video_url", "video_url": f"data:video/mp4;base64,{payload}"},
+    ]}]
+    prompt, videos, images = _flatten_messages(msgs)
+    assert videos == [payload] and images == []
+    assert "<video>" in prompt
+
+    with pytest.raises(ValueError, match="no usable url"):
+        _flatten_messages([{"role": "user", "content": [
+            {"type": "image_url", "image_url": {}}]}])

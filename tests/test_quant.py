@@ -226,3 +226,13 @@ def test_bits4_group_engine_matches_w4_view(cfg, params):
         outs.append([int(t[0]) for t in eng.generate_tokens(
             [list(range(10, 30))], gen=gen, eos_ids=[-1])])
     assert outs[0] == outs[1], outs
+
+
+def test_decode_w4_rejects_int8_range_params(cfg, params):
+    """bits=8 trees hold values in [-127, 127]; Engine(decode_w4=True)
+    must refuse them instead of letting int4_decode_view silently
+    truncate (ADVICE r2, medium)."""
+    q8 = quantize_llama_params(jax.tree.map(jnp.copy, params), bits=8)
+    with pytest.raises(ValueError, match="bits=8"):
+        Engine(cfg, q8, buckets=(64,), max_new_tokens=8,
+               cache_dtype=jnp.float32, use_flash=False, decode_w4=True)

@@ -10,11 +10,13 @@ verifies the draft with ONE (D+1)-wide
 forward through the cache: the weight traffic of a single decode step,
 amortized over every accepted token.
 
-* **Greedy** (``do_sample=False``): output is PROVABLY identical to
-  plain greedy decode — a draft token survives only if it equals the
-  model's own argmax at its position, and the first disagreement is
-  replaced by that argmax (tests/test_speculative.py asserts
-  token-for-token equality).
+* **Greedy** (``do_sample=False``): a draft token survives only if it
+  equals the model's own argmax at its position, and the first
+  disagreement is replaced by that argmax — token-identical to plain
+  greedy decode up to the numerics of the (D+1)-wide verify matmul
+  (whose bf16 tiling/reduction order can in principle flip an exact
+  argmax tie vs the width-1 step; exact on every tested config —
+  tests/test_speculative.py asserts token-for-token equality).
 * **Sampling** (``do_sample=True``): standard speculative-sampling
   rejection against a point-mass draft distribution — draft token x at
   position i is accepted with probability p_i(x) under the SAME
@@ -377,7 +379,12 @@ class SpecChatSession(ChatSession):
                     del tokens[max_new:]
                     break
             if not stopped and tokenizer is not None and gen.stop:
-                text = tokenizer.decode(tokens, skip_special_tokens=True)
+                # windowed: decode this call's emissions plus a straddle
+                # overlap, not the whole reply (see engine.find_stop_index)
+                from valley_tpu.inference.engine import _STOP_WINDOW
+                span = n_rounds * d1 + _STOP_WINDOW
+                text = tokenizer.decode(tokens[-span:],
+                                        skip_special_tokens=True)
                 if any(s in text for s in gen.stop):
                     stopped = True
         return tokens, cache, valid, int(np.asarray(slot_dev))

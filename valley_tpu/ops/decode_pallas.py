@@ -53,8 +53,14 @@ def _split_s(s: int, slot_bytes: int) -> Optional[tuple[int, int]]:
     return None
 
 
-def supports_decode_kernel(s: int, hkv: int, d: int, itemsize: int) -> bool:
-    """Whether decode_attention_stacked handles this cache geometry."""
+def supports_decode_kernel(s: int, hkv: int, d: int, itemsize: int,
+                           h: Optional[int] = None) -> bool:
+    """Whether decode_attention_stacked handles this cache geometry.
+    ``h`` (query-head count, when known) must be <= 128: the m/l scratch
+    buffers are laid out (h, 128) and sliced [:, :h], so more than 128
+    query heads would index out of bounds."""
+    if h is not None and h > 128:
+        return False
     return (d % 128 == 0 and hkv % 8 == 0
             and _split_s(s, hkv * d * itemsize) is not None)
 

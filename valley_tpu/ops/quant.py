@@ -119,7 +119,10 @@ def int4_decode_view(params):
     """int8-stored 4-bit weights -> real int4 arrays, for use INSIDE a
     fused decode executable (int4 buffers cannot cross jit boundaries on
     this toolchain — tools/exp_int4.py).  The cast is numerically exact
-    (values already in [-7, 7] from ``quantize_llama_params(bits=4)``);
+    ONLY for values already in [-7, 7] (``quantize_llama_params(bits=4)``)
+    — a bits=8 tree would silently truncate, so ``Engine(decode_w4=True)``
+    validates the range host-side at construction
+    (`engine._check_int4_range`);
     the one-time conversion amortizes over the multi-step decode scan,
     whose steps then stream int4 bytes from HBM (tools/exp_int4b.py:
     2.2x faster weight reads than int8)."""

@@ -31,6 +31,23 @@ def _data_url_payload(url: str) -> str:
     return url
 
 
+def _media_url(part: dict, keys: Tuple[str, ...]) -> str:
+    """Media payload from an OpenAI content part.  Accepts the dict form
+    (``{'video_url': {'url': ...}}``), the string form
+    (``{'video_url': 'data:...'}``) and the flat form (``{'url': ...}``).
+    Raises ValueError (-> HTTP 400) when no non-empty url is present,
+    instead of silently queueing an empty payload that would fail as a
+    confusing decode error downstream."""
+    for k in keys:
+        val = part.get(k)
+        if isinstance(val, dict) and val.get("url"):
+            return _data_url_payload(val["url"])
+        if isinstance(val, str) and val:
+            return _data_url_payload(val)
+    raise ValueError(
+        f"content part {part.get('type')!r} has no usable url")
+
+
 def _flatten_messages(messages: List[dict]) -> Tuple[str, list, list]:
     """OpenAI messages -> (Valley prompt, videos, images).
 
@@ -51,16 +68,12 @@ def _flatten_messages(messages: List[dict]) -> Tuple[str, list, list]:
                 if ptype == "text":
                     texts.append(part.get("text", ""))
                 elif ptype in ("video_url", "video"):
-                    videos.append(_data_url_payload(
-                        part.get("video_url", part)["url"]
-                        if isinstance(part.get("video_url"), dict)
-                        else part.get("url", "")))
+                    videos.append(_media_url(
+                        part, ("video_url", "video", "url")))
                     texts.append("<video>")
                 elif ptype in ("image_url", "image"):
-                    images.append(_data_url_payload(
-                        part.get("image_url", part)["url"]
-                        if isinstance(part.get("image_url"), dict)
-                        else part.get("url", "")))
+                    images.append(_media_url(
+                        part, ("image_url", "image", "url")))
                     texts.append("<image>")
                 else:
                     raise ValueError(f"unsupported content part {ptype!r}")
