@@ -247,3 +247,24 @@ def test_prefix_cache_multimodal_and_speculative(cfg, params):
     expect = full.chat(prefix + q, images=images, eos_ids=[-1])
     assert pc.spawn().chat(q, eos_ids=[-1]) == expect
     assert pc.spawn(speculative=True).chat(q, eos_ids=[-1]) == expect
+
+
+def test_find_stop_index_matches_full_prefix_scan():
+    """The rolling-window stop search must agree with the naive
+    decode-every-prefix implementation it replaced (O(n^2) host fix)."""
+    from valley_tpu.inference.engine import find_stop_index
+    from valley_tpu.tokenizer import ByteFallbackTokenizer
+
+    tk = ByteFallbackTokenizer()
+    for text in ("a nice reply ### Human: next",
+                 "no stop anywhere in this text",
+                 "#1 then # # then ### end",
+                 "###"):
+        toks = tk.encode(text)
+        got = find_stop_index(toks, ("###",), tk)
+        naive = None
+        for i in range(1, len(toks) + 1):
+            if "###" in tk.decode(toks[:i], skip_special_tokens=True):
+                naive = i
+                break
+        assert got == naive, (text, got, naive)

@@ -83,6 +83,31 @@ def sample_token(logits: jnp.ndarray, key: jax.Array, temperature,
     return jnp.where(temperature < 1e-4, greedy, sampled)
 
 
+def _check_int4_range(params) -> None:
+    """Validate int8-stored weights actually hold int4-range values before
+    enabling ``decode_w4``: nothing in the tree records the quantization
+    bit width, and `ops.quant.int4_decode_view` casts on dtype alone — a
+    bits=8 tree (values in [-127, 127]) would silently truncate to
+    garbage.  One host-side max-reduction per tensor at engine
+    construction; exact criterion (the int4 cast is lossless iff every
+    value is in [-7, 7])."""
+    from valley_tpu.ops.quant import QUANT_TARGETS
+
+    llama_p = params.get("llama", {})
+    tensors = {n: llama_p["layers"][n] for n in QUANT_TARGETS
+               if n in llama_p.get("layers", {})}
+    if llama_p.get("lm_head") is not None:
+        tensors["lm_head"] = llama_p["lm_head"]
+    bad = [n for n, w in tensors.items()
+           if w.dtype == jnp.int8 and int(jnp.max(jnp.abs(w))) > 7]
+    if bad:
+        raise ValueError(
+            f"decode_w4=True but {bad} hold values outside [-7, 7] — "
+            "these were quantized with bits=8, not bits=4; the int4 "
+            "decode view would silently truncate them. Re-quantize with "
+            "quantize_llama_params(bits=4).")
+
+
 class Engine:
     """Holds params on device and the per-bucket compiled step functions."""
 
@@ -129,9 +154,10 @@ class Engine:
         # llama.forward_hidden — so the default stays 1).
         self.decode_unroll = max(1, decode_unroll)
         # Fused Pallas decode attention (ops/decode_pallas.py); None =
-        # auto (on for single-stream TPU decode when the cache geometry
-        # qualifies), True/False force it (tests force True under
-        # interpret mode)
+        # OFF — the kernel is numerically validated but measured slower
+        # than the XLA decode path on v5e (Mosaic DMA ceiling, see
+        # llama.forward_hidden), so auto never enables it.  Pass True to
+        # force it on (tests force True under interpret mode).
         self.decode_kernel = decode_kernel
         # With bits=4-quantized params (ops/quant.py), convert the int8-
         # stored weights to REAL int4 once inside each fused decode call:
@@ -141,6 +167,8 @@ class Engine:
         # the conversion lives inside the executable, amortized over
         # steps_per_call.
         self.decode_w4 = decode_w4
+        if decode_w4:
+            _check_int4_range(params)
         if use_flash is None:
             use_flash = jax.default_backend() == "tpu"
         self.use_flash = use_flash
@@ -395,6 +423,23 @@ def stream_text(token_iter, tokenizer, gen: GenerationConfig
     yield text
 
 
+@functools.partial(jax.jit, static_argnames=("total_len",))
+def _grow_cache(cache: KVCache, valid, total_len: int):
+    """Fresh session-size cache buffers holding a prefix fragment at the
+    front (slot axis = 2).  The pad allocates NEW buffers, so spawned
+    sessions (whose decode donates its cache) never alias the stored
+    fragment."""
+    pad = total_len - cache.max_len
+
+    def grow(x):
+        widths = [(0, 0)] * x.ndim
+        widths[2] = (0, pad)
+        return jnp.pad(x, widths)
+
+    return (jax.tree.map(grow, cache),
+            jnp.pad(valid, ((0, 0), (0, pad))))
+
+
 class PrefixCache:
     """Prefill a shared prompt prefix ONCE and spawn sessions from it.
 
@@ -406,9 +451,10 @@ class PrefixCache:
     whose KV already contains the prefix — per-request work is just the
     question's delta extend + decode.
 
-    Each spawn copies the prefix KV fragment on device (sessions donate
-    their cache buffers, so they cannot share one); the copy is
-    milliseconds vs the 150-400 ms prefix prefill it replaces.
+    Only the ``bucket``-slot prefix *fragment* is stored (the full
+    session cache would be ~GBs per entry at 7B); each spawn pads the
+    fragment into fresh session-size buffers on device — milliseconds vs
+    the 150-400 ms prefix prefill it replaces.
     """
 
     def __init__(self, engine: Engine, prefix_ids: Sequence[int],
@@ -427,16 +473,20 @@ class PrefixCache:
         extra = extra_slots if extra_slots is not None \
             else 4 * (eng.max_new_tokens + 64)
         # prefill only — the sampled next-token is discarded (each
-        # spawned session continues with its own delta tokens)
+        # spawned session continues with its own delta tokens).
+        # cache_len matches ChatSession._first_turn's so the prefill
+        # executable is shared with plain first turns.
         _tok, _lg, cache, valid = eng._prefill(
             eng.params, jnp.asarray(ids), imgs, jnp.asarray([n], np.int32),
             jax.random.key(self.gen.seed), self.gen.temperature,
             self.gen.top_p, frame_mask, bucket=bucket,
             cache_len=bucket + eng.max_new_tokens + extra,
             do_sample=False, has_images=has_images)
-        jax.block_until_ready(cache.k)
-        self._cache = cache
-        self._valid = valid
+        # keep only the prefix fragment (prompt slots [0, bucket))
+        self._frag = jax.tree.map(lambda x: x[:, :, :bucket], cache)
+        self._valid = valid[:, :bucket]
+        jax.block_until_ready(self._frag.k)
+        self._extra = extra
         self._seq = n
         self._slot = bucket
 
@@ -456,12 +506,32 @@ class PrefixCache:
             sess = ChatSession(self.engine, gen)
         if seed is not None:
             sess._key = jax.random.key(seed)
-        # sessions donate their cache buffers: each spawn needs its own
-        # copy of the prefix fragment
-        cache = jax.tree.map(jnp.copy, self._cache)
-        valid = jnp.copy(self._valid)
+        total = (self._slot + self.engine.max_new_tokens + self._extra
+                 + sess._decode_slack)
+        cache, valid = _grow_cache(self._frag, self._valid, total)
         sess._state = (cache, valid, self._seq, self._slot, None)
         return sess
+
+
+# Rolling-window size (tokens) for incremental keyword-stop detection: a
+# stop string ('###') spans a handful of tokens; the window bounds the
+# longest detectable straddle while keeping per-token host work O(window).
+_STOP_WINDOW = 48
+
+
+def find_stop_index(tokens: Sequence[int], stops: Sequence[str],
+                    tokenizer, window: int = _STOP_WINDOW) -> Optional[int]:
+    """Smallest count ``i`` such that decoding ``tokens[:i]`` surfaces a
+    keyword stop — searched with a rolling decode window of the trailing
+    ``window`` tokens, so host work per token stays O(window) instead of
+    O(i) (decoding every full prefix made long replies O(n^2) host
+    time).  Returns None when no stop appears."""
+    for i in range(1, len(tokens) + 1):
+        text = tokenizer.decode(tokens[max(0, i - window):i],
+                                skip_special_tokens=True)
+        if any(s in text for s in stops):
+            return i
+    return None
 
 
 def _apply_stops(text: str, stops: Sequence[str]) -> tuple[bool, str]:
@@ -638,7 +708,11 @@ class ChatSession:
                     stopped = True
                     break
             if not stopped and tokenizer is not None and gen.stop:
-                text = tokenizer.decode(tokens, skip_special_tokens=True)
+                # windowed check: decode only this chunk plus a small
+                # straddle overlap, not the whole reply (O(n) per chunk
+                # made long replies O(n^2) host time)
+                text = tokenizer.decode(tokens[-(n_steps + _STOP_WINDOW):],
+                                        skip_special_tokens=True)
                 if any(s in text for s in gen.stop):
                     stopped = True
         return tokens, cache, valid, slot
@@ -650,11 +724,9 @@ class ChatSession:
                 kept = i + 1  # keep the eos itself as turn terminator
                 break
         if tokenizer is not None and self.gen.stop:
-            for i in range(1, len(tokens) + 1):
-                text = tokenizer.decode(tokens[:i], skip_special_tokens=True)
-                if any(s in text for s in self.gen.stop):
-                    kept = min(kept, i)
-                    break
+            i = find_stop_index(tokens[:kept], self.gen.stop, tokenizer)
+            if i is not None:
+                kept = min(kept, i)
         return kept
 
     def _first_turn(self, new_ids, images, sub):
