@@ -170,23 +170,36 @@ class HybridDataset:
 
 @dataclass
 class DataCollatorForSupervisedDataset:
-    """Right-pad ids/labels, build the attention mask, frame-pad images."""
+    """Right-pad ids/labels, build the attention mask, frame-pad images.
+
+    ``pad_to_length`` / ``pad_frames_to`` force FIXED output shapes
+    (sequence exactly ``pad_to_length``, frame axis at least
+    ``pad_frames_to``) instead of the local-batch max.  Required for
+    multi-host training — `jax.make_array_from_process_local_data` needs
+    every process's shard to agree on shape, and no process sees the
+    other ranks' samples — and generally TPU-friendly (one executable
+    instead of one per padded-length bucket)."""
 
     pad_token_id: int = 0
     pad_to_multiple: int = 64
     max_length: Optional[int] = 2048
+    pad_to_length: Optional[int] = None
+    pad_frames_to: Optional[int] = None
 
     def __call__(self, instances: Sequence[Any]) -> Dict[str, np.ndarray]:
         instances = [x for x in instances if not isinstance(x, tuple)]
         if not instances:
             raise ValueError("all samples in the batch failed to load")
 
-        seq = max(len(x["input_ids"]) for x in instances)
-        if self.pad_to_multiple:
-            m = self.pad_to_multiple
-            seq = (seq + m - 1) // m * m
-        if self.max_length:
-            seq = min(seq, self.max_length)
+        if self.pad_to_length:
+            seq = self.pad_to_length
+        else:
+            seq = max(len(x["input_ids"]) for x in instances)
+            if self.pad_to_multiple:
+                m = self.pad_to_multiple
+                seq = (seq + m - 1) // m * m
+            if self.max_length:
+                seq = min(seq, self.max_length)
 
         b = len(instances)
         input_ids = np.full((b, seq), self.pad_token_id, np.int32)
@@ -205,6 +218,8 @@ class DataCollatorForSupervisedDataset:
         if any("image" in inst for inst in instances):
             tmax = max(inst["image"].shape[0] for inst in instances
                        if "image" in inst)
+            if self.pad_frames_to:
+                tmax = max(tmax, self.pad_frames_to)
             shape = next(inst["image"].shape[1:] for inst in instances
                          if "image" in inst)
             images = np.zeros((b, tmax) + tuple(shape), np.float32)
@@ -305,11 +320,23 @@ class DataLoader:
     thread pool — the heavy per-sample work (native/cv2 video decode,
     JPEG decode, resize) releases the GIL, so threads scale like the
     reference's DataLoader worker *processes* without the IPC cost.
+
+    **Multi-host training** (``process_count`` > 1): ``batch_size`` stays
+    the GLOBAL batch size; every process derives the same shuffled order
+    from the shared seed and loads only its contiguous
+    ``batch_size / process_count`` rows of each global batch — the JAX
+    equivalent of torchrun's per-rank DistributedSampler
+    (`valley/train/train.sh:1` gives the reference this via 8 ranks each
+    running its own DataLoader).  Feed the local rows through
+    `parallel.shard_batch`, which assembles them into one logical global
+    array via `jax.make_array_from_process_local_data` — no host ever
+    materializes the full global batch.
     """
 
     def __init__(self, dataset, batch_size: int, collator, shuffle=True,
                  seed: int = 0, drop_last: bool = True,
-                 num_workers: int = 4):
+                 num_workers: int = 4,
+                 process_index: int = 0, process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collator = collator
@@ -317,6 +344,19 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.num_workers = num_workers
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
+        if self.process_count > 1:
+            if batch_size % self.process_count:
+                raise ValueError(
+                    f"global batch_size {batch_size} must divide by "
+                    f"process_count {process_count}")
+            if not drop_last:
+                raise ValueError(
+                    "drop_last=False is unsupported multi-process: a "
+                    "partial final batch cannot split evenly across "
+                    "processes (make_array_from_process_local_data "
+                    "requires equal per-process shards)")
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -336,9 +376,13 @@ class DataLoader:
     def epoch(self, epoch_idx: int = 0):
         order = np.arange(len(self.dataset))
         if self.shuffle:
+            # identical order on every process: the rank slice below is
+            # what partitions the work, not the shuffle
             np.random.default_rng(self.seed + epoch_idx).shuffle(order)
+        per = self.batch_size // self.process_count
+        lo, hi = self.process_index * per, (self.process_index + 1) * per
         for start in range(0, len(order), self.batch_size):
             idx = order[start:start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
-            yield self.collator(self._fetch(idx))
+            yield self.collator(self._fetch(idx[lo:hi]))

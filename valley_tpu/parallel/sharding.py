@@ -146,8 +146,52 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch) -> Any:
+    """Place a host batch onto the mesh, batch dim over (data, fsdp).
+
+    Single-process: ``batch`` is the global batch, device_put splits it.
+    Multi-process (``jax.process_count() > 1``): ``batch`` is this
+    process's contiguous rows of the global batch
+    (`data.DataLoader(process_index=, process_count=)` yields exactly
+    those) and `jax.make_array_from_process_local_data` assembles the
+    logical global array — each host only ever touches its own shard,
+    the JAX equivalent of the reference's per-rank torchrun DataLoaders
+    (`valley/train/train.sh:1`)."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def process_batch_slice(mesh: Mesh, global_batch: int) -> slice:
+    """The global-batch row interval THIS process must load so
+    `shard_batch`'s multi-process assembly is the identity: derived from
+    the batch sharding's device->index map.  Raises if the mesh does not
+    give this process one contiguous block (meshes from `create_mesh` /
+    `multislice_mesh` do: jax.devices() orders by process, which becomes
+    the leading batch axis)."""
+    sh = batch_sharding(mesh)
+    idx_map = sh.devices_indices_map((global_batch,))
+    spans = sorted({((s[0].start or 0),
+                     (global_batch if s[0].stop is None else s[0].stop))
+                    for d, s in idx_map.items()
+                    if d.process_index == jax.process_index()})
+    lo, hi = spans[0][0], spans[-1][1]
+    covered = 0
+    end = lo
+    for a, b in spans:
+        if a > end:
+            raise ValueError(
+                f"mesh gives process {jax.process_index()} non-contiguous "
+                f"batch rows {spans}; DataLoader's contiguous rank slice "
+                "cannot feed it")
+        end = max(end, b)
+        covered = end - lo
+    assert covered == hi - lo
+    return slice(lo, hi)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -200,14 +200,25 @@ def train(conf_path: str) -> int:
                                cfg.vision.image_size)
     data_args.patch_size = cfg.vision.patch_size
     module = make_video_supervised_data_module(tokenizer, data_args)
+    if jax.process_count() > 1:
+        # multi-host shards must agree on shape without seeing each
+        # other's samples: fix the collator's padded geometry
+        coll = module["data_collator"]
+        coll.pad_to_length = coll.max_length
+        coll.pad_frames_to = data_args.num_frames
     # per_device semantics (reference torchrun: batch per GPU): the global
     # batch scales with the data-parallel world size (data x fsdp axes).
     n_dev = len(jax.devices())
     model_par = max(tc.mesh_model, 1)
     global_batch = tc.per_device_train_batch_size * max(
         n_dev // model_par, 1)
+    # multi-host: each process loads only its rows of the global batch
+    # (torchrun per-rank sampler equivalent; see data.DataLoader and
+    # parallel.shard_batch)
     loader = DataLoader(module["train_dataset"], global_batch,
-                        module["data_collator"], seed=tc.seed)
+                        module["data_collator"], seed=tc.seed,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
 
     eval_fn = None
     if tc.evaluation_strategy == "steps":

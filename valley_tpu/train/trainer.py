@@ -467,7 +467,10 @@ class Trainer:
         return step
 
     def _device_batch(self, batch):
-        arrs = {k: jnp.asarray(v) for k, v in batch.items()}
+        # host-side arrays into shard_batch: multi-process assembly
+        # (make_array_from_process_local_data) needs host data, and the
+        # host-side bf16 cast halves H2D image bytes either way
+        arrs = {k: np.asarray(v) for k, v in batch.items()}
         if "images" in arrs:
             arrs["images"] = arrs["images"].astype(jnp.bfloat16)
         return shard_batch(self.mesh, arrs)
