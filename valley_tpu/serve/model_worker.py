@@ -52,7 +52,8 @@ class ModelWorker:
                  max_batch: int = 4,
                  max_sessions: int = 0,
                  speculative: bool = False,
-                 frame_mode: str = "fixed"):
+                 frame_mode: str = "fixed",
+                 prefix_cache: int = 0):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = str(uuid.uuid4())[:6]
@@ -87,6 +88,16 @@ class ModelWorker:
         self.max_sessions = max_sessions
         self._sessions: "dict[str, tuple]" = {}
         self._session_lock = threading.Lock()
+        # --prefix-cache N: keep the KV of up to N (media + system-prompt)
+        # prefixes; repeat requests about the same video skip the whole
+        # prefix prefill (the reference re-prefills per request,
+        # `model_worker.py:371-376`).  LRU; hit/miss counters for tests
+        # and ops visibility.
+        self.prefix_cache_size = prefix_cache
+        self._prefix_caches: "dict[str, object]" = {}
+        self._prefix_lock = threading.Lock()
+        self.prefix_hits = 0
+        self.prefix_misses = 0
         # --speculative: stateless requests decode via n-gram
         # self-speculation (greedy: token-identical; sampled: exact
         # sample_token distribution; inference/speculative.py)
@@ -235,6 +246,13 @@ class ModelWorker:
                 session_id, input_ids, images, gen, stop_str, ori_prompt,
                 eos_id)
             return
+        if (self.prefix_cache_size > 0 and images is not None
+                and self.continuous is None and self.batcher is None):
+            stream = self._prefix_stream(params, prompt, images, input_ids,
+                                         gen, stop_str, ori_prompt, eos_id)
+            if stream is not None:
+                yield from stream
+                return
         if self.continuous is not None:
             outq = self.continuous.submit(
                 input_ids, images, temperature, gen.top_p, max_new_tokens,
@@ -375,6 +393,113 @@ class ModelWorker:
                                           list(input_ids) + list(reply))
         yield json.dumps({"text": ori_prompt + cur_out,
                           "error_code": 0}).encode() + b"\0"
+
+    def _prefix_split(self, prompt: str, input_ids):
+        """(prefix_ids, suffix_ids) split at the end of the LAST media
+        span — the shared part across requests about the same media is
+        everything up to `</vi_end>`/`</im_end>`.  Token-exact by
+        construction: the prefix must re-tokenize to a prefix of the full
+        ids (the boundary is a special token, so real tokenizers never
+        merge across it); returns None when it doesn't (or the context
+        clamp trimmed into the prefix) and the caller falls back to the
+        plain un-cached path."""
+        idx = -1
+        for end_tok in (DEFAULT_VI_END_TOKEN, DEFAULT_IM_END_TOKEN):
+            pos = prompt.rfind(end_tok)
+            if pos >= 0:
+                idx = max(idx, pos + len(end_tok))
+        if idx < 0:
+            return None
+        prefix_ids = self.tokenizer.encode(prompt[:idx])
+        n = len(prefix_ids)
+        if n == 0 or n >= len(input_ids) or \
+                list(input_ids[:n]) != list(prefix_ids):
+            return None
+        return list(prefix_ids), list(input_ids[n:])
+
+    def _prefix_stream(self, params: dict, prompt: str, images, input_ids,
+                       gen, stop_str, ori_prompt: str, eos_id: int):
+        """Serve a stateless media request through the PrefixCache: the
+        (media + system prompt) prefill runs once per distinct media and
+        is reused across requests — each request only extends with its
+        question and decodes.  Token-identical to the plain path
+        (tests/test_prefix_serving.py)."""
+        import hashlib
+
+        split = self._prefix_split(prompt, input_ids)
+        if split is None:
+            return None
+        prefix_ids, suffix_ids = split
+        h = hashlib.md5()
+        for m in (params.get("videos") or params.get("images") or []):
+            h.update(m if isinstance(m, bytes) else str(m).encode())
+        h.update(np.asarray(prefix_ids, np.int32).tobytes())
+        h.update(f"{self.num_frames}/{self.frame_mode}".encode())
+        key = h.hexdigest()
+
+        from valley_tpu.inference.engine import PrefixCache
+
+        with self._prefix_lock:
+            pc = self._prefix_caches.pop(key, None)
+            if pc is None:
+                self.prefix_misses += 1
+                if len(self._prefix_caches) >= self.prefix_cache_size:
+                    evicted = next(iter(self._prefix_caches))
+                    self._prefix_caches.pop(evicted)
+                    logger.info("evicted prefix %s", evicted)
+                pc = PrefixCache(self.engine, prefix_ids, images)
+            else:
+                self.prefix_hits += 1
+            self._prefix_caches[key] = pc   # MRU reinsert
+
+        session = pc.spawn(gen=gen, speculative=self._speculative,
+                           seed=gen.seed)
+        return self._chat_stream(session, suffix_ids, stop_str,
+                                 ori_prompt, eos_id)
+
+    def _chat_stream(self, session, delta_ids, stop_str, ori_prompt: str,
+                     eos_id: int):
+        """Stream one ChatSession turn as reference wire chunks."""
+        import queue as queue_mod
+
+        stream_q: "queue_mod.Queue" = queue_mod.Queue()
+
+        def run_chat():
+            try:
+                reply = session.chat(delta_ids, tokenizer=self.tokenizer,
+                                     eos_ids=[eos_id],
+                                     on_token=stream_q.put)
+                stream_q.put(("done", reply))
+            except Exception as e:  # pragma: no cover
+                stream_q.put(("error", e))
+
+        threading.Thread(target=run_chat, daemon=True).start()
+
+        def _cut(text: str) -> str:
+            if stop_str:
+                pos = text.rfind(stop_str)
+                if pos != -1:
+                    return text[:pos]
+            return text
+
+        streamed: list = []
+        while True:
+            item = stream_q.get()
+            if isinstance(item, tuple):
+                kind, payload = item
+                if kind == "error":
+                    raise payload
+                cur = _cut(self.tokenizer.decode(
+                    payload, skip_special_tokens=True))
+                yield json.dumps({"text": ori_prompt + cur,
+                                  "error_code": 0}).encode() + b"\0"
+                return
+            streamed.append(int(item))
+            if len(streamed) % self.stream_interval == 0:
+                cur = _cut(self.tokenizer.decode(
+                    streamed, skip_special_tokens=True))
+                yield json.dumps({"text": ori_prompt + cur,
+                                  "error_code": 0}).encode() + b"\0"
 
     def generate_stream_gate(self, params: dict):
         with self._active_lock:
@@ -519,6 +644,12 @@ def main():
                              "iteration-level continuous batching over "
                              "--max-batch rows; 0 disables")
     parser.add_argument("--max-batch", type=int, default=4)
+    parser.add_argument("--prefix-cache", type=int, default=0,
+                        help="keep the prefilled KV of up to N "
+                             "(media + system prompt) prefixes; repeat "
+                             "requests about the same video skip the "
+                             "prefix prefill entirely (token-identical; "
+                             "LRU eviction)")
     parser.add_argument("--max-sessions", type=int, default=0,
                         help="enable session-id multi-turn KV reuse, "
                              "keeping up to N sessions (LRU)")
@@ -544,7 +675,8 @@ def main():
                          max_batch=args.max_batch,
                          max_sessions=args.max_sessions,
                          speculative=args.speculative,
-                         frame_mode=args.frame_mode)
+                         frame_mode=args.frame_mode,
+                         prefix_cache=args.prefix_cache)
     if args.warmup and worker.continuous is not None:
         worker.continuous.warmup(frames=args.num_frames)
         logger.info("continuous-batching warmup done")
