@@ -122,8 +122,16 @@ def _spec_sample_round(probs: jnp.ndarray, draft: jnp.ndarray,
 
 @dataclasses.dataclass
 class SpecConfig:
+    """Defaults tuned from measured acceptance on real text
+    (tools/exp_accept.py replay, ROUND_NOTES round 3): ngram=4 / D=8 is
+    the best worst-case config — extractive replies accept ~6.1
+    drafts/round (257 tok/s projected at 7B), qa-mix ~1.7 (97), 2nd-turn
+    ~1.9 (105), fully-novel text ~0.30 (47 — i.e. ~10% BELOW plain
+    decode; disable speculation for workloads that never quote their
+    context)."""
+
     draft_len: int = 8        # drafted tokens per round (D)
-    ngram: int = 3            # MAX match length (tried deepest-first)
+    ngram: int = 4            # MAX match length (tried deepest-first)
     rounds_per_call: int = 16  # fused rounds per device call
 
 
@@ -136,6 +144,12 @@ class SpecDecoder:
     def __init__(self, engine: Engine, spec: Optional[SpecConfig] = None):
         self.engine = engine
         self.spec = spec or SpecConfig()
+        # monotonic acceptance telemetry (across all streams served by
+        # this decoder): emitted = accepted drafts + 1 correction per
+        # round, so accepted/round = emitted/rounds - 1.  Read deltas to
+        # measure one stream (tools/exp_accept.py).
+        self.total_rounds = 0
+        self.total_emitted = 0
         self._rounds = jax.jit(
             self._rounds_impl,
             static_argnames=("n_rounds", "do_sample"),
@@ -266,7 +280,9 @@ class SpecDecoder:
             toks_np = np.asarray(toks)          # (R, D+1)
             counts_np = np.asarray(counts)      # (R,)
             for r in range(toks_np.shape[0]):
+                self.total_rounds += 1
                 for t in toks_np[r, :counts_np[r]]:
+                    self.total_emitted += 1
                     yield int(t)
                     emitted += 1
                     if int(t) in eos or emitted >= max_new:
@@ -368,6 +384,8 @@ class SpecChatSession(ChatSession):
             toks_np = np.asarray(toks)
             counts_np = np.asarray(counts)
             for r in range(toks_np.shape[0]):
+                self._decoder.total_rounds += 1
+                self._decoder.total_emitted += int(counts_np[r])
                 for t in toks_np[r, :counts_np[r]]:
                     tokens.append(int(t))
                     if on_token:
