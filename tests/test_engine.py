@@ -200,3 +200,48 @@ def test_process_response_golden():
     assert process_response(["  Valley: hi"]) == ["hi"]
     assert process_response(["plain answer"]) == ["plain answer"]
     assert process_response(["a ### b", "x"]) == ["a", "x"]
+
+
+def test_warmup_covers_frame_buckets(cfg, params):
+    """With frame_buckets, warmup() compiles one prefill per bucket so
+    mixed image/video traffic never hits a cold executable (the worker
+    defaults to --frame-buckets 1,4,8 and warms before registering)."""
+    eng = Engine(cfg, params, buckets=(64,), max_new_tokens=4,
+                 cache_dtype=jnp.float32, use_flash=False,
+                 steps_per_call=2, frame_buckets=(2, 4))
+    eng.warmup()
+    n = eng._prefill._cache_size()
+    assert n == 2   # one per frame bucket
+    # any frame count <= max bucket now reuses a warmed executable
+    tok = cfg.tokens
+    span = [tok.im_start] + [tok.im_patch] * cfg.num_patches + \
+        [tok.im_end] + [tok.vi_start] + [tok.vi_frame] * 3 + [tok.vi_end]
+    imgs = np.zeros((1, 3, 3, cfg.vision.image_size,
+                     cfg.vision.image_size), np.float32)
+    gen = GenerationConfig(max_new_tokens=2, do_sample=False)
+    list(eng.generate_tokens([[1] + span], imgs, gen, eos_ids=[-1]))
+    assert eng._prefill._cache_size() == n
+
+
+def test_load_engine_frame_bucket_defaults():
+    from valley_tpu.serve.model_worker import load_engine
+
+    class A:
+        model_path = "random:tiny"
+        vision_tower = None
+        lora_path = None
+        buckets = "128"
+        max_new_tokens = 4
+        quantize = None
+        kv_cache = "bf16"
+        num_frames = 8
+        frame_buckets = "1,4,8"
+
+    eng, _tk = load_engine(A())
+    assert eng.frame_buckets == (1, 4, 8)
+    A.num_frames = 16             # video frames beyond the largest bucket
+    eng, _tk = load_engine(A())
+    assert eng.frame_buckets == (1, 4, 8, 16)
+    A.frame_buckets = "off"
+    eng, _tk = load_engine(A())
+    assert eng.frame_buckets is None

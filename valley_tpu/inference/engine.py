@@ -289,18 +289,26 @@ class Engine:
         gen = GenerationConfig(max_new_tokens=min(self.steps_per_call + 1,
                                                   self.max_new_tokens),
                                do_sample=False)
-        t = frames or 1
+        # with frame bucketing, warm EVERY frame bucket (mixed image/video
+        # traffic then never hits a cold prefill executable)
+        frame_counts = self.frame_buckets if (with_images
+                                              and self.frame_buckets) \
+            else (frames or 1,)
         v = self.cfg.vision
         for b in batch_sizes:
             for bucket in self.buckets:
                 prompt = [[1] * (bucket // 2) for _ in range(b)]
-                images = None
-                if with_images:
-                    images = np.zeros((b, t, 3, v.image_size, v.image_size),
-                                      np.float32)
-                for _ in self.generate_tokens(prompt, images, gen,
-                                              eos_ids=[-1]):
-                    pass
+                for t in frame_counts:
+                    images = None
+                    if with_images:
+                        images = np.zeros(
+                            (b, t, 3, v.image_size, v.image_size),
+                            np.float32)
+                    for _ in self.generate_tokens(prompt, images, gen,
+                                                  eos_ids=[-1]):
+                        pass
+                    if images is None:
+                        break
 
     def _prepare_images(self, images, batch: int):
         """Host media -> (device bf16 images, frame_mask | None,

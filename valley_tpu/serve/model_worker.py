@@ -586,13 +586,19 @@ def load_engine(args):
     cache_dtype = jnp.int8 if getattr(args, "kv_cache", "bf16") == "int8" \
         else jnp.bfloat16
     fb = getattr(args, "frame_buckets", "") or ""
+    if fb.strip().lower() == "off":
+        fb = ""
+    fbt = tuple(int(b) for b in fb.split(",")) if fb else None
+    if fbt and getattr(args, "num_frames", 8) > max(fbt):
+        # make sure the configured video frame count has a bucket, so
+        # warmup covers it and videos never hit a cold prefill
+        fbt = fbt + (int(args.num_frames),)
     engine = Engine(cfg, params,
                     buckets=tuple(int(b) for b in args.buckets.split(",")),
                     max_new_tokens=args.max_new_tokens,
                     cache_dtype=cache_dtype,
                     decode_w4=getattr(args, "quantize", None) == "int4",
-                    frame_buckets=tuple(
-                        int(b) for b in fb.split(",")) if fb else None)
+                    frame_buckets=fbt)
     return engine, tokenizer
 
 
@@ -619,11 +625,14 @@ def main():
                         help="'adaptive' keeps the most visually "
                              "distinct frames from a 4x candidate pool "
                              "(long/repetitive videos)")
-    parser.add_argument("--frame-buckets", type=str, default="",
-                        help="comma list (e.g. '4,8'): pad the media "
-                             "frame axis to the smallest bucket so mixed "
-                             "image/frame counts share one prefill "
-                             "executable (mask-aware pooling)")
+    parser.add_argument("--frame-buckets", type=str, default="1,4,8",
+                        help="comma list: pad the media frame axis to "
+                             "the smallest bucket so mixed image/frame "
+                             "counts share one prefill executable "
+                             "(mask-aware pooling).  Default '1,4,8' "
+                             "covers single-image, multi-image and "
+                             "8-frame video without recompiles; pass "
+                             "'off' for exact shapes")
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile every bucket before registering")
     parser.add_argument("--quantize", type=str, default=None,
