@@ -177,8 +177,28 @@ def test_shortest_queue_prefers_idle():
 def test_web_index_and_models(stack):
     r = requests.get(stack["web_addr"] + "/")
     assert r.status_code == 200 and b"Valley" in r.content
+    # dual Video/Image tab layout (ref gradio_web_server_video.py:352-374)
+    assert b"tab-video" in r.content and b"tab-image" in r.content
+    assert b"procmode" in r.content
     r = requests.post(stack["web_addr"] + "/list_models")
     assert r.json()["models"] == ["valley-tiny"]
+
+
+def test_web_template_auto_selection():
+    """First-round template choice mirrors the reference predicate
+    (gradio_web_server_video.py:193-200); the reference's own registry
+    lacks "multimodal" so the image branch resolves to a template that
+    exists instead of KeyErroring."""
+    web = web_mod.WebServer("http://localhost:1")
+    assert web.pick_template("valley-stable-7b", "video") == \
+        "multimodal_video"
+    picked = web.pick_template("valley-stable-7b", "image")
+    assert picked in web_mod.conv_templates
+    assert web.pick_template("valley-fashion", "image") == \
+        "multimodal_video"
+    assert web.pick_template("anything", None) == "multimodal_video"
+    fixed = web_mod.WebServer("http://localhost:1", conv_mode="v1")
+    assert fixed.pick_template("valley-stable-7b", "image") == "v1"
 
 
 def test_web_chat_stream_roundtrip(stack):

@@ -8,7 +8,10 @@ behavioral parity for the server side:
 * model list fetched from the controller (`get_model_list`, ref `:36-43`);
 * uploaded media saved under ``LOGDIR/serve_images/<md5>`` (ref
   `:226-254`);
-* prompts built from the `multimodal_video` conversation template and
+* dual Video/Image tab layout (active tab = media mode, per-tab upload
+  + image preprocess radio, ref `:352-374`) and per-request conversation
+  template auto-selection by model/mode (ref `:193-200`);
+* prompts built from the selected conversation template and
   proxied to the chosen worker's `/worker_generate_stream`, chunks relayed
   to the browser (ref `:273-292`);
 * votes and conversation snapshots appended to ``{date}-conv.json``
@@ -45,16 +48,34 @@ PAGE = """<!doctype html>
  textarea{width:100%;height:64px}
  .controls{display:flex;gap:8px;margin:8px 0;flex-wrap:wrap}
  button{padding:6px 14px}
+ .tabbar button{border:1px solid #ccc;border-bottom:none;background:#eee;
+   border-radius:6px 6px 0 0}
+ .tabbar button.active{background:#fff;font-weight:bold}
+ .tab{border:1px solid #ccc;border-radius:0 6px 6px 6px;padding:10px;
+   margin-bottom:8px}
+ .tab.hidden{display:none}
 </style></head><body>
 <h2>Valley — video assistant (TPU-native)</h2>
 <div class="controls">
  <label>Model <select id="model"></select></label>
- <label>Temperature <input id="temp" type="number" value="0.7" step="0.1"
-   min="0" max="2"></label>
- <label>Max new tokens <input id="maxtok" type="number" value="512"
-   min="1" max="1536"></label>
- <input id="media" type="file" accept="video/mp4,image/*">
- <label>Non-square image <select id="procmode">
+ <label>Temperature <input id="temp" type="range" value="0.7" step="0.1"
+   min="0" max="1" oninput="tempv.textContent=this.value">
+   <span id="tempv">0.7</span></label>
+ <label>Max new tokens <input id="maxtok" type="range" value="512"
+   min="0" max="1024" step="64" oninput="maxtokv.textContent=this.value">
+   <span id="maxtokv">512</span></label>
+</div>
+<div class="tabbar">
+ <button id="tabbtn-video" class="active"
+   onclick="setTab('video')">Video</button>
+ <button id="tabbtn-image" onclick="setTab('image')">Image</button>
+</div>
+<div id="tab-video" class="tab">
+ <input id="media-video" type="file" accept="video/mp4,video/*">
+</div>
+<div id="tab-image" class="tab hidden">
+ <input id="media-image" type="file" accept="image/*">
+ <label>Preprocess for non-square image <select id="procmode">
    <option>Crop</option><option>Resize</option><option>Pad</option>
  </select></label>
 </div>
@@ -70,6 +91,14 @@ PAGE = """<!doctype html>
 <script>
 let history = [];
 let lastRequest = null;   // for regenerate: last human text + media
+let mode = 'video';       // active tab = media mode (ref state.mode)
+function setTab(m){
+  mode = m;
+  for (const t of ['video','image']){
+    document.getElementById('tab-'+t).classList.toggle('hidden', t!==m);
+    document.getElementById('tabbtn-'+t).classList.toggle('active', t===m);
+  }
+}
 async function init(){
   const r = await fetch('/list_models', {method:'POST'});
   const models = (await r.json()).models;
@@ -96,14 +125,15 @@ async function send(){
   const text = document.getElementById('text').value.slice(0, 1536);
   if (!text) return;
   document.getElementById('text').value='';
-  const file = document.getElementById('media').files[0];
+  const input = document.getElementById('media-' + mode);
+  const file = input.files[0];
   let media = null, mediaType = null;
   if (file){
     media = await new Promise(res => { const fr = new FileReader();
       fr.onload = () => res(fr.result.split(',')[1]);
       fr.readAsDataURL(file); });
-    mediaType = file.type.startsWith('video') ? 'video' : 'image';
-    document.getElementById('media').value = '';
+    mediaType = mode;
+    input.value = '';
   }
   lastRequest = {text, media, mediaType};
   addTurn('Human', text);
@@ -157,12 +187,29 @@ init();
 
 
 class WebServer:
-    def __init__(self, controller_addr: str, conv_mode="multimodal_video",
+    def __init__(self, controller_addr: str, conv_mode=None,
                  num_frames: int = 8):
         self.controller_addr = controller_addr
-        self.conv_mode = conv_mode
+        self.conv_mode = conv_mode   # None = auto-select per request
         self.num_frames = num_frames
         os.makedirs(os.path.join(LOGDIR, "serve_images"), exist_ok=True)
+
+    def pick_template(self, model: str, media_type) -> str:
+        """Template auto-selection (`gradio_web_server_video.py:193-200`):
+        a "stable" (non-"fashion") model chatting over an IMAGE picks the
+        "multimodal" template, every other combination "multimodal_video".
+        The reference's own registry has no "multimodal" entry (its image
+        branch KeyErrors upstream), so that case falls back to
+        "multimodal_video" here instead of crashing.  An explicit
+        ``--conv-mode`` overrides auto-selection."""
+        if self.conv_mode:
+            return self.conv_mode
+        name = (model or "").lower()
+        if ("stable" in name and "fashion" not in name
+                and media_type == "image"):
+            return ("multimodal" if "multimodal" in conv_templates
+                    else "multimodal_video")
+        return "multimodal_video"
 
     def log_file(self) -> str:
         date = datetime.datetime.now().strftime("%Y-%m-%d")
@@ -203,7 +250,7 @@ class WebServer:
                               "error_code": 1}).encode() + b"\0"
             return
 
-        conv = conv_templates[self.conv_mode].copy()
+        conv = conv_templates[self.pick_template(model, media_type)].copy()
         for role, message in history:
             conv.append_message(role, message)
         payload_media: dict = {}
@@ -300,7 +347,9 @@ def main():
     parser.add_argument("--port", type=int, default=7860)
     parser.add_argument("--controller-address", type=str,
                         default="http://localhost:21001")
-    parser.add_argument("--conv-mode", type=str, default="multimodal_video")
+    parser.add_argument("--conv-mode", type=str, default=None,
+                        help="fix the conversation template (default: "
+                             "auto-select per model/media)")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
     web = WebServer(args.controller_address, args.conv_mode)
