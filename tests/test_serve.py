@@ -77,6 +77,23 @@ def test_get_worker_address(stack):
     assert missing == ""
 
 
+def test_worker_status_stats_counters(stack):
+    """/worker_get_status carries additive serving telemetry: request and
+    generated-token counters move across a generation."""
+    before = post_json(stack["worker_addr"] + "/worker_get_status", {})
+    s0 = before["stats"]
+    with requests.post(stack["worker_addr"] + "/worker_generate_stream",
+                       json={"prompt": "count me", "temperature": 0.0,
+                             "max_new_tokens": 4}, stream=True) as r:
+        for _ in r.iter_lines(decode_unicode=False, delimiter=b"\0"):
+            pass
+    after = post_json(stack["worker_addr"] + "/worker_get_status", {})
+    s1 = after["stats"]
+    assert s1["requests"] == s0["requests"] + 1
+    assert s1["tokens_generated"] > s0["tokens_generated"]
+    assert "active_sessions" in s1
+
+
 def test_worker_status_endpoint(stack):
     status = post_json(stack["worker_addr"] + "/worker_get_status", {})
     assert status["model_names"] == ["valley-tiny"]

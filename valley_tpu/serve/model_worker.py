@@ -98,6 +98,11 @@ class ModelWorker:
         self._prefix_lock = threading.Lock()
         self.prefix_hits = 0
         self.prefix_misses = 0
+        # serving telemetry, surfaced under "stats" in /worker_get_status
+        # (additive to the reference's status wire format)
+        self._stats_lock = threading.Lock()
+        self.stats_requests = 0
+        self.stats_tokens = 0
         # --speculative: stateless requests decode via n-gram
         # self-speculation (greedy: token-identical; sampled: exact
         # sample_token distribution; inference/speculative.py)
@@ -149,9 +154,25 @@ class ModelWorker:
     def get_queue_length(self) -> int:
         return max(0, self._active)
 
+    def _count(self, tokens: int = 0, requests: int = 0) -> None:
+        with self._stats_lock:
+            self.stats_requests += requests
+            self.stats_tokens += tokens
+
     def get_status(self) -> dict:
+        stats = {"requests": self.stats_requests,
+                 "tokens_generated": self.stats_tokens,
+                 "active_sessions": len(self._sessions)}
+        if self.prefix_cache_size > 0:
+            stats["prefix_hits"] = self.prefix_hits
+            stats["prefix_misses"] = self.prefix_misses
+        sd = self.spec_decoder
+        if sd is not None and sd.total_rounds:
+            stats["spec_rounds"] = sd.total_rounds
+            stats["spec_accept_per_round"] = round(
+                sd.total_emitted / sd.total_rounds, 3)
         return {"model_names": [self.model_name], "speed": 1,
-                "queue_length": self.get_queue_length()}
+                "queue_length": self.get_queue_length(), "stats": stats}
 
     # -- media -----------------------------------------------------------
 
@@ -213,6 +234,7 @@ class ModelWorker:
     def generate_stream(self, params: dict):
         from valley_tpu.inference.engine import GenerationConfig
 
+        self._count(requests=1)
         prompt = params["prompt"]
         ori_prompt = prompt
         images = None
@@ -292,6 +314,7 @@ class ModelWorker:
                                   "error_code": 0}).encode() + b"\0"
             if stopped:
                 break
+        self._count(tokens=len(pred_ids))
         if not emitted:
             yield json.dumps({"text": ori_prompt,
                               "error_code": 0}).encode() + b"\0"
@@ -383,6 +406,7 @@ class ModelWorker:
                 yield json.dumps({"text": ori_prompt + cur,
                                   "error_code": 0}).encode() + b"\0"
 
+        self._count(tokens=len(reply))
         cur_out = self.tokenizer.decode(reply, skip_special_tokens=True)
         if stop_str:
             pos = cur_out.rfind(stop_str)
@@ -489,6 +513,7 @@ class ModelWorker:
                 kind, payload = item
                 if kind == "error":
                     raise payload
+                self._count(tokens=len(payload))
                 cur = _cut(self.tokenizer.decode(
                     payload, skip_special_tokens=True))
                 yield json.dumps({"text": ori_prompt + cur,
