@@ -351,6 +351,34 @@ def test_load_engine_kv_cache_flag():
     assert len(toks) == 6
 
 
+def test_load_engine_tensor_parallel_token_identical():
+    """worker --tensor-parallel 2 shards the engine over a model-axis
+    mesh and generates the same greedy tokens as single-chip."""
+    import argparse
+
+    from valley_tpu.inference.engine import GenerationConfig
+    from valley_tpu.serve.model_worker import load_engine
+
+    def mk(tp):
+        return argparse.Namespace(model_path="random:tiny",
+                                  vision_tower=None, lora_path=None,
+                                  buckets="128", max_new_tokens=8,
+                                  quantize=None, kv_cache="bf16",
+                                  tensor_parallel=tp)
+
+    eng1, tk = load_engine(mk(1))
+    eng2, _ = load_engine(mk(2))
+    assert eng1.mesh is None and eng2.mesh is not None
+    assert eng2.mesh.shape["model"] == 2
+    ids = tk.encode("### Human: hi\n### Assistant:")
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False)
+    t1 = [int(t[0]) for t in eng1.generate_tokens([ids], None, gen,
+                                                  eos_ids=[-1])]
+    t2 = [int(t[0]) for t in eng2.generate_tokens([ids], None, gen,
+                                                  eos_ids=[-1])]
+    assert t1 == t2
+
+
 def test_cli_chat_loop_speculative_matches_plain(engine_and_tokenizer):
     """The CLI REPL (scripted IO) produces the same greedy replies with
     and without --speculative."""

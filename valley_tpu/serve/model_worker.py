@@ -618,12 +618,22 @@ def load_engine(args):
         # make sure the configured video frame count has a bucket, so
         # warmup covers it and videos never hit a cold prefill
         fbt = fbt + (int(args.num_frames),)
+    mesh = None
+    tp = int(getattr(args, "tensor_parallel", 1) or 1)
+    if tp > 1:
+        # multi-chip tensor-parallel serving (the 13B-per-worker config:
+        # int8 13B needs 2 chips — see tools/exp_13b_aot.py's per-shard
+        # HBM proof; the reference spreads layers over GPUs via
+        # device_map, `model_worker.py:55-58`)
+        from valley_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(data=1, fsdp=1, model=tp)
     engine = Engine(cfg, params,
                     buckets=tuple(int(b) for b in args.buckets.split(",")),
                     max_new_tokens=args.max_new_tokens,
                     cache_dtype=cache_dtype,
                     decode_w4=getattr(args, "quantize", None) == "int4",
-                    frame_buckets=fbt)
+                    frame_buckets=fbt, mesh=mesh)
     return engine, tokenizer
 
 
@@ -687,6 +697,12 @@ def main():
     parser.add_argument("--max-sessions", type=int, default=0,
                         help="enable session-id multi-turn KV reuse, "
                              "keeping up to N sessions (LRU)")
+    parser.add_argument("--tensor-parallel", type=int, default=1,
+                        help="shard the engine over N chips (model-axis "
+                             "tensor parallelism; token-identical to "
+                             "single-chip).  13B int8 needs 2 chips — "
+                             "per-shard HBM proof in "
+                             "tools/exp_13b_aot.py")
     parser.add_argument("--speculative", action="store_true",
                         help="stateless requests decode via n-gram "
                              "self-speculation (greedy token-identical, "
