@@ -222,6 +222,53 @@ def test_checkpoint_save_and_resume(cfg, params, tmp_path):
         rtol=1e-6)
 
 
+def test_async_checkpointing_roundtrip(cfg, params, tmp_path):
+    """async_checkpointing=True: saves overlap training, every
+    checkpoint still commits, and resume restores identical params."""
+    from valley_tpu.utils import checkpoint as ckpt_lib
+
+    out = str(tmp_path / "async_ckpt")
+    tc = TrainConfig(output_dir=out, learning_rate=1e-3,
+                     freeze_backbone=True, tune_mm_mlp_adapter=True,
+                     num_train_epochs=1, per_device_train_batch_size=4,
+                     gradient_checkpointing=False, save_steps=1,
+                     save_total_limit=2, async_checkpointing=True,
+                     mesh_data=1, mesh_fsdp=4, mesh_model=2)
+    loader = make_loader(cfg)
+    trainer = Trainer(cfg, tc, jax.tree.map(jnp.copy, params), loader)
+    steps = trainer.train(resume=False)
+    assert steps == 2
+    assert not ckpt_lib._pending        # final save blocked + finalized
+    assert "checkpoint-2" in os.listdir(out)
+    assert not any(n.endswith(".tmp") for n in os.listdir(out))
+
+    trainer2 = Trainer(cfg, tc, jax.tree.map(jnp.copy, params), loader)
+    assert trainer2.maybe_resume() == 2
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(trainer2.state.params["projector"]["w"])),
+        np.asarray(jax.device_get(trainer.state.params["projector"]["w"])),
+        rtol=1e-6)
+
+
+def test_async_save_defers_commit_until_finalize(tmp_path):
+    """block=False returns with only the tmp dir on disk (readers never
+    see a partial checkpoint-N); finalize_pending commits it."""
+    from valley_tpu.utils import checkpoint as ckpt_lib
+
+    out = str(tmp_path / "raw")
+    os.makedirs(out)
+    state = {"w": jnp.arange(8, dtype=jnp.float32)}
+    ckpt_lib.save_checkpoint(out, state, 1, keep=None, block=False)
+    names = os.listdir(out)
+    assert "checkpoint-1" not in names  # not committed yet
+    ckpt_lib.finalize_pending()
+    assert "checkpoint-1" in os.listdir(out)
+    restored = ckpt_lib.restore_latest(out, {"w": jnp.zeros(8)})
+    assert restored is not None and restored[1] == 1
+    np.testing.assert_array_equal(np.asarray(restored[0]["w"]),
+                                  np.arange(8, dtype=np.float32))
+
+
 def test_optimizer_multistep_accumulation(cfg, params):
     tc = TrainConfig(gradient_accumulation_steps=4)
     tx, _sched, _labels = make_optimizer(params, tc, total_steps=10)

@@ -61,6 +61,10 @@ class TrainConfig:
     logging_steps: int = 1
     save_steps: int = 2400
     save_total_limit: int = 1
+    # overlap checkpoint disk writes with training (orbax async save;
+    # the device->host snapshot is taken synchronously so the state is
+    # consistent).  The final save always blocks.
+    async_checkpointing: bool = False
     seed: int = 42
     # parameter-group flags (reference train.py:58-84 semantics)
     freeze_backbone: bool = False
@@ -366,10 +370,13 @@ class Trainer:
                              if isinstance(v, (int, float))})
         logger.info(line)
 
-    def save(self, step: int):
+    def save(self, step: int, final: bool = False):
+        # the end-of-training save always blocks so the trainer returns
+        # with every checkpoint committed
         ckpt_lib.save_checkpoint(
             self.tc.output_dir, self.state, step,
-            keep=self.tc.save_total_limit)
+            keep=self.tc.save_total_limit,
+            block=final or not self.tc.async_checkpointing)
         if self.tc.lora and self.tc.lora_save_strategy == "steps":
             from valley_tpu.train import lora as lora_lib
 
@@ -463,7 +470,7 @@ class Trainer:
                                          for k, v in metrics.items()}})
             if profiling:
                 jax.profiler.stop_trace()
-            self.save(step)
+            self.save(step, final=True)
         return step
 
     def _device_batch(self, batch):

@@ -32,14 +32,12 @@ def checkpoint_dirs(output_dir: str):
     return sorted(out)
 
 
-def save_checkpoint(output_dir: str, state: Any, step: int,
-                    keep: Optional[int] = 1) -> str:
-    path = os.path.abspath(os.path.join(output_dir, f"checkpoint-{step}"))
-    tmp = path + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    ckptr = _checkpointer()
-    ckptr.save(tmp, state)
+# in-flight async saves: (checkpointer, tmp, final_path, output_dir, keep)
+_pending: list = []
+
+
+def _finalize(ckptr, tmp: str, path: str, output_dir: str,
+              keep: Optional[int]) -> str:
     ckptr.wait_until_finished()
     if os.path.exists(path):
         shutil.rmtree(path)
@@ -51,10 +49,43 @@ def save_checkpoint(output_dir: str, state: Any, step: int,
     return path
 
 
+def finalize_pending() -> None:
+    """Block until every async save has committed (tmp -> checkpoint-N).
+    Called automatically before the next save and at trainer exit."""
+    while _pending:
+        _finalize(*_pending.pop(0))
+
+
+def save_checkpoint(output_dir: str, state: Any, step: int,
+                    keep: Optional[int] = 1, block: bool = True) -> str:
+    """Write ``checkpoint-<step>``.  With ``block=False`` the disk write
+    overlaps subsequent training steps (orbax AsyncCheckpointer: the
+    device->host snapshot happens before returning, so the saved state
+    is consistent even as training mutates params); the tmp -> final
+    rename is deferred to `finalize_pending` so readers never observe a
+    partial checkpoint.  The reference's trainer blocks on every save."""
+    finalize_pending()
+    path = os.path.abspath(os.path.join(output_dir, f"checkpoint-{step}"))
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if block:
+        ckptr = _checkpointer()
+        ckptr.save(tmp, state)
+        return _finalize(ckptr, tmp, path, output_dir, keep)
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    ckptr.save(tmp, args=ocp.args.StandardSave(state))
+    _pending.append((ckptr, tmp, path, output_dir, keep))
+    return path
+
+
 def restore_latest(output_dir: str, template: Any
                    ) -> Optional[Tuple[Any, int]]:
     """Restore the newest checkpoint-N using ``template`` for structure /
     shardings.  Returns (state, step) or None."""
+    finalize_pending()
     existing = checkpoint_dirs(output_dir)
     if not existing:
         return None
