@@ -351,6 +351,32 @@ def test_load_engine_kv_cache_flag():
     assert len(toks) == 6
 
 
+def test_session_cache_geometry_quantized(stack):
+    """Two session requests with nearby max_new_tokens must land on the
+    SAME session cache length (extra_slots rounds up to a 512 multiple)
+    so the decode executable is shared instead of recompiled."""
+    worker = stack["worker"]
+    worker.max_sessions = 4
+    try:
+        lens = {}
+        for sid, mnt in (("geoA", 40), ("geoB", 56)):
+            with requests.post(
+                    stack["worker_addr"] + "/worker_generate_stream",
+                    json={"prompt": "hello", "temperature": 0.0,
+                          "max_new_tokens": mnt, "session_id": sid},
+                    stream=True) as r:
+                for _ in r.iter_lines(decode_unicode=False,
+                                      delimiter=b"\0"):
+                    pass
+            session, _known = worker._sessions[sid]
+            cache = session._state[0]
+            lens[sid] = cache.k.shape[2]
+        assert lens["geoA"] == lens["geoB"], lens
+    finally:
+        worker.max_sessions = 0
+        worker._sessions.clear()
+
+
 def test_load_engine_tensor_parallel_token_identical():
     """worker --tensor-parallel 2 shards the engine over a model-axis
     mesh and generates the same greedy tokens as single-chip."""

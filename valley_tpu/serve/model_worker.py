@@ -340,9 +340,14 @@ class ModelWorker:
                 self._sessions.pop(oldest)
                 logger.info("evicted session %s", oldest)
 
+        # extra_slots quantized UP to a 512 multiple: the session cache
+        # length is part of the decode executable's shape, so a raw
+        # 2*max_new+256 would recompile for every distinct client
+        # max_new_tokens value
+        extra = -(-(2 * gen.max_new_tokens + 256) // 512) * 512
+
         def new_session():
-            return ChatSession(self.engine, gen,
-                               extra_slots=2 * gen.max_new_tokens + 256)
+            return ChatSession(self.engine, gen, extra_slots=extra)
 
         session, known = entry if entry else (None, [])
         delta = None
