@@ -351,6 +351,28 @@ def test_load_engine_kv_cache_flag():
     assert len(toks) == 6
 
 
+def test_warmup_serving_paths_compiles_and_serves(stack):
+    """warmup_serving_paths pre-compiles prefix/session executables and
+    leaves the worker fully serviceable."""
+    worker = stack["worker"]
+    worker.prefix_cache_size, worker.max_sessions = 2, 2
+    try:
+        worker.warmup_serving_paths()
+        with requests.post(
+                stack["worker_addr"] + "/worker_generate_stream",
+                json={"prompt": "after warm", "temperature": 0.0,
+                      "max_new_tokens": 4, "session_id": "warmtest"},
+                stream=True) as r:
+            chunks = [json.loads(c) for c in
+                      r.iter_lines(decode_unicode=False, delimiter=b"\0")
+                      if c]
+        assert chunks and chunks[-1]["error_code"] == 0
+    finally:
+        worker.prefix_cache_size, worker.max_sessions = 0, 0
+        worker._sessions.clear()
+        worker._prefix_caches.clear()
+
+
 def test_session_cache_geometry_quantized(stack):
     """Two session requests with nearby max_new_tokens must land on the
     SAME session cache length (extra_slots rounds up to a 512 multiple)

@@ -154,6 +154,41 @@ class ModelWorker:
     def get_queue_length(self) -> int:
         return max(0, self._active)
 
+    def warmup_serving_paths(self) -> None:
+        """Pre-compile the prefix-cache / session executables that
+        ``engine.warmup()`` (stateless prefill+decode) does not cover —
+        a cold compile on the first real request stalls behind the
+        controller's 60 s proxy timeout.  Covers every engine frame
+        bucket; session warm uses the 512-quantized extra_slots class
+        that requests with max_new_tokens <= 128 share."""
+        eng = self.engine
+        if self.prefix_cache_size <= 0 and self.max_sessions <= 0:
+            return
+        from valley_tpu.inference.engine import (ChatSession,
+                                                 GenerationConfig,
+                                                 PrefixCache)
+
+        tok = eng.cfg.tokens
+        p = eng.cfg.num_patches
+        v = eng.cfg.vision
+        gen = GenerationConfig(max_new_tokens=2, do_sample=False)
+        if self.prefix_cache_size > 0:
+            for t in (eng.frame_buckets or (self.num_frames,)):
+                span = ([tok.im_start] + [tok.im_patch] * p
+                        + [tok.im_end] + [tok.vi_start]
+                        + [tok.vi_frame] * t + [tok.vi_end])
+                images = np.zeros((1, t, 3, v.image_size, v.image_size),
+                                  np.float32)
+                pc = PrefixCache(eng, [1] + span, images)
+                sess = pc.spawn(gen=gen, speculative=self._speculative)
+                sess.chat([5, 6], tokenizer=self.tokenizer, eos_ids=[-1])
+                logger.info("warmed prefix path (%d frames)", t)
+        if self.max_sessions > 0:
+            sess = ChatSession(eng, gen, extra_slots=512)
+            sess.chat([5, 6], tokenizer=self.tokenizer, eos_ids=[-1])
+            sess.chat([7, 8], tokenizer=self.tokenizer, eos_ids=[-1])
+            logger.info("warmed session path")
+
     def _count(self, tokens: int = 0, requests: int = 0) -> None:
         with self._stats_lock:
             self.stats_requests += requests
@@ -735,6 +770,8 @@ def main():
     if args.warmup and worker.continuous is not None:
         worker.continuous.warmup(frames=args.num_frames)
         logger.info("continuous-batching warmup done")
+    if args.warmup:
+        worker.warmup_serving_paths()
     app = build_app(worker)
     app.host, app._port = args.host, args.port
     app.serve_forever()
