@@ -123,6 +123,48 @@ def test_http_worker_continuous_mode(engine):
         assert chunks and chunks[-1]["error_code"] == 0
 
 
+def test_prefix_admission_token_identical(engine, cont):
+    """Admitting from a PrefixCache (shared system-prompt KV copied,
+    only the suffix prefilled) must stream the same greedy tokens as a
+    plain full-prompt admission."""
+    from valley_tpu.inference.engine import PrefixCache
+
+    prefix = list(range(10, 34))
+    pc = PrefixCache(engine, prefix)
+    for suffix in ([40, 41, 42], [50, 51, 52, 53, 54]):
+        full = prefix + suffix
+        plain = _collect(cont.submit(full, max_new_tokens=6, eos_id=-1))
+        via_prefix = _collect(cont.submit(full, max_new_tokens=6,
+                                          eos_id=-1, prefix=pc))
+        assert plain == via_prefix
+
+
+def test_prefix_admission_rejects_bad_inputs(engine, cont):
+    from valley_tpu.inference.engine import PrefixCache
+
+    pc = PrefixCache(engine, list(range(10, 20)))
+    outq = cont.submit([99, 98, 97], max_new_tokens=3, eos_id=-1,
+                       prefix=pc)
+    with pytest.raises(ValueError):
+        list(_drain(outq))   # prefix mismatch delivered to the caller
+    with pytest.raises(ValueError):
+        cont.submit(list(range(10, 22)), images=np.zeros((1, 1, 3, 28, 28)),
+                    prefix=pc)
+
+
+def test_spec_prefix_admission_token_identical(engine, spec_cont):
+    """Prefix admission composes with speculative pooled decode."""
+    from valley_tpu.inference.engine import PrefixCache
+
+    prefix = list(range(60, 80))
+    pc = PrefixCache(engine, prefix)
+    full = prefix + [30, 31, 32, 30, 31, 32]
+    plain = _collect(spec_cont.submit(full, max_new_tokens=8, eos_id=-1))
+    via_prefix = _collect(spec_cont.submit(full, max_new_tokens=8,
+                                           eos_id=-1, prefix=pc))
+    assert plain == via_prefix
+
+
 def test_continuous_warmup(engine):
     c2 = ContinuousEngine(engine, rows=2, bucket=64, extra_slots=32,
                           steps_per_call=2)

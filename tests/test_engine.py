@@ -211,7 +211,7 @@ def test_warmup_covers_frame_buckets(cfg, params):
                  steps_per_call=2, frame_buckets=(2, 4))
     eng.warmup()
     n = eng._prefill._cache_size()
-    assert n == 2   # one per frame bucket
+    assert n == 3   # one per frame bucket + the text-only prefill
     # any frame count <= max bucket now reuses a warmed executable
     tok = cfg.tokens
     span = [tok.im_start] + [tok.im_patch] * cfg.num_patches + \

@@ -101,3 +101,25 @@ def test_prefix_cached_speculative_identical(engine_and_tokenizer):
     req = _request(3, "what is in the image?")
     assert _final_text(spec, req) == _final_text(plain, req)
     assert spec.prefix_misses == 1
+
+
+def test_prefix_cache_composes_with_continuous_batching(
+        engine_and_tokenizer):
+    """--prefix-cache + --batch-window-ms -1: pooled admission reuses the
+    cached prefix KV (only the question suffix prefills) and stays
+    token-identical to the plain pooled path."""
+    eng, tk = engine_and_tokenizer
+    plain = ModelWorker("u", "u", "tiny", eng, tk, no_register=True,
+                        batch_window_ms=-1, max_batch=2)
+    cached = ModelWorker("u", "u", "tiny", eng, tk, no_register=True,
+                         batch_window_ms=-1, max_batch=2, prefix_cache=2)
+    req = _request(7, "what color is the image?")
+    expect = _final_text(plain, req)
+    assert _final_text(cached, req) == expect    # miss: builds the prefix
+    assert _final_text(cached, req) == expect    # hit: admits from cache
+    assert cached.prefix_misses == 1
+    assert cached.prefix_hits == 1
+    # a different question about the SAME media still hits
+    other = _request(7, "describe it differently please")
+    assert _final_text(cached, other) == _final_text(plain, other)
+    assert cached.prefix_hits == 2

@@ -56,6 +56,9 @@ class _Request:
     top_p: float
     max_new_tokens: int
     eos_id: int
+    # PrefixCache whose KV seeds the row (input_ids must start with its
+    # prefix_ids; only the suffix is prefilled at admission)
+    prefix: Optional[Any] = None
     out: "queue.Queue[Any]" = dataclasses.field(
         default_factory=lambda: queue.Queue(maxsize=4096))
     emitted: int = 0
@@ -271,9 +274,19 @@ class ContinuousEngine:
 
     def submit(self, input_ids, images=None, temperature: float = 0.0,
                top_p: float = 1.0, max_new_tokens: int = 256,
-               eos_id: int = 2) -> "queue.Queue[Any]":
+               eos_id: int = 2, prefix=None) -> "queue.Queue[Any]":
+        """Queue a request.  With ``prefix`` (an `engine.PrefixCache`),
+        ``input_ids`` must start with the prefix's tokens and admission
+        only prefills the suffix — the shared (system prompt + media)
+        KV is copied from the cache instead of recomputed, so pooled
+        serving of many questions about the SAME media skips the
+        dominant per-request prefill cost.  Pass ``images=None`` then
+        (the media lives in the prefix)."""
+        if prefix is not None and images is not None:
+            raise ValueError("pass media via the prefix, not images")
         req = _Request(list(input_ids), images, float(temperature),
-                       float(top_p), int(max_new_tokens), int(eos_id))
+                       float(top_p), int(max_new_tokens), int(eos_id),
+                       prefix=prefix)
         self._queue.put(req)
         self._wake.set()
         return req.out
@@ -310,7 +323,58 @@ class ContinuousEngine:
             self._ready.put(item)   # blocks when 2 rows already parked
             self._wake.set()
 
+    def _prefill_from_prefix(self, req: _Request):
+        """Admission via a PrefixCache: pad the cached (system prompt +
+        media) KV fragment into a pool-size row, extend with the
+        request's suffix tokens, then compact — the compacted row has
+        slot == seq == live tokens, exactly the shape a plain prefilled
+        row has, so insert/decode need no changes."""
+        from valley_tpu.inference.engine import _compact_cache, _grow_cache
+
+        eng = self.engine
+        pc = req.prefix
+        pre = list(pc.prefix_ids)
+        ids_full = list(req.input_ids)
+        if ids_full[:len(pre)] != pre:
+            raise ValueError("input_ids do not start with the prefix")
+        suffix = ids_full[len(pre):]
+        c = len(suffix)
+        if c == 0:
+            raise ValueError("no suffix tokens after the prefix")
+        cb = 1 << max(4, (c - 1).bit_length())   # pow2 chunk >= 16
+        with self._key_lock:
+            self._key, sub = jax.random.split(self._key)
+        # the fragment spans its full prefix BUCKET; extend in a buffer
+        # big enough for (bucket + chunk), compact the padding away,
+        # then slice down to the pool row size
+        tmp_len = max(self.smax, pc._slot + cb)
+        cache, valid = _grow_cache(pc._frag, pc._valid, tmp_len)
+        ids = np.zeros((1, cb), np.int32)
+        ids[0, :c] = suffix
+        tok, cache, valid, _seq = eng._extend(
+            eng.params, cache, valid, jnp.asarray(ids),
+            jnp.asarray([c], np.int32),
+            jnp.asarray([pc._seq], np.int32), jnp.int32(pc._slot), sub,
+            req.temperature, req.top_p,
+            do_sample=req.temperature >= 1e-4)
+        cache, valid, n_valid = _compact_cache(cache, valid)
+        n = int(np.asarray(n_valid)[0])
+        if n >= self.smax:
+            raise ValueError(
+                f"prompt of {n} tokens leaves no decode slots "
+                f"(pool smax={self.smax})")
+        if tmp_len > self.smax:
+            cache = jax.tree.map(lambda x: x[:, :, :self.smax], cache)
+            valid = valid[:, :self.smax]
+        row_hist = None
+        if self._spec is not None:
+            row_hist = np.zeros((self.hist_max,), np.int32)
+            row_hist[:len(ids_full)] = ids_full
+        return req, tok, cache, valid, n, row_hist
+
     def _prefill_one(self, req: _Request):
+        if req.prefix is not None:
+            return self._prefill_from_prefix(req)
         eng = self.engine
         n = len(req.input_ids)
         if n > self.bucket:

@@ -290,7 +290,10 @@ class Engine:
                                                   self.max_new_tokens),
                                do_sample=False)
         # with frame bucketing, warm EVERY frame bucket (mixed image/video
-        # traffic then never hits a cold prefill executable)
+        # traffic then never hits a cold prefill executable).  Text-only
+        # requests compile a separate (has_images=False) prefill — warm
+        # it too so e.g. the OpenAI chat route's first text request
+        # doesn't stall (~12 s observed cold at 7B).
         frame_counts = self.frame_buckets if (with_images
                                               and self.frame_buckets) \
             else (frames or 1,)
@@ -298,17 +301,14 @@ class Engine:
         for b in batch_sizes:
             for bucket in self.buckets:
                 prompt = [[1] * (bucket // 2) for _ in range(b)]
-                for t in frame_counts:
-                    images = None
-                    if with_images:
-                        images = np.zeros(
-                            (b, t, 3, v.image_size, v.image_size),
-                            np.float32)
+                media_passes = ([None] if not with_images else
+                                [np.zeros((b, t, 3, v.image_size,
+                                           v.image_size), np.float32)
+                                 for t in frame_counts] + [None])
+                for images in media_passes:
                     for _ in self.generate_tokens(prompt, images, gen,
                                                   eos_ids=[-1]):
                         pass
-                    if images is None:
-                        break
 
     def _prepare_images(self, images, batch: int):
         """Host media -> (device bf16 images, frame_mask | None,

@@ -311,9 +311,18 @@ class ModelWorker:
                 yield from stream
                 return
         if self.continuous is not None:
+            # --prefix-cache composes with continuous batching: repeat
+            # same-media requests admit from the cached prefix KV (only
+            # the question's suffix prefills)
+            pc = None
+            if self.prefix_cache_size > 0 and images is not None:
+                found = self._prefix_lookup(params, prompt, images,
+                                            input_ids)
+                if found is not None:
+                    pc = found[0]
             outq = self.continuous.submit(
-                input_ids, images, temperature, gen.top_p, max_new_tokens,
-                eos_id)
+                input_ids, None if pc is not None else images,
+                temperature, gen.top_p, max_new_tokens, eos_id, prefix=pc)
             from valley_tpu.inference.continuous import _drain
 
             token_iter = ((t,) for t in _drain(outq))
@@ -488,6 +497,19 @@ class ModelWorker:
         is reused across requests — each request only extends with its
         question and decodes.  Token-identical to the plain path
         (tests/test_prefix_serving.py)."""
+        found = self._prefix_lookup(params, prompt, images, input_ids)
+        if found is None:
+            return None
+        pc, suffix_ids = found
+        session = pc.spawn(gen=gen, speculative=self._speculative,
+                           seed=gen.seed)
+        return self._chat_stream(session, suffix_ids, stop_str,
+                                 ori_prompt, eos_id)
+
+    def _prefix_lookup(self, params: dict, prompt: str, images, input_ids):
+        """(PrefixCache, suffix_ids) for a stateless media request, or
+        None when the prompt can't be split token-exactly.  md5-keyed
+        over (media, prefix tokens, frame geometry); LRU eviction."""
         import hashlib
 
         split = self._prefix_split(prompt, input_ids)
@@ -515,11 +537,7 @@ class ModelWorker:
             else:
                 self.prefix_hits += 1
             self._prefix_caches[key] = pc   # MRU reinsert
-
-        session = pc.spawn(gen=gen, speculative=self._speculative,
-                           seed=gen.seed)
-        return self._chat_stream(session, suffix_ids, stop_str,
-                                 ori_prompt, eos_id)
+        return pc, suffix_ids
 
     def _chat_stream(self, session, delta_ids, stop_str, ori_prompt: str,
                      eos_id: int):
