@@ -123,6 +123,33 @@ def test_http_worker_continuous_mode(engine):
         assert chunks and chunks[-1]["error_code"] == 0
 
 
+def test_pool_over_tensor_parallel_engine_token_identical(engine, cont):
+    """Continuous batching composes with a model-axis TP engine (the 13B
+    multi-chip pooled-serving config): same greedy tokens as the plain
+    pool, pool KV sharded over the mesh."""
+    from valley_tpu import config as C
+    from valley_tpu.parallel.mesh import create_mesh
+
+    cfg = C.valley_tiny()
+    params = valley.init_params(cfg, jax.random.key(0), jnp.float32)
+    mesh = create_mesh(data=1, fsdp=1, model=2)
+    tp_eng = Engine(cfg, params, buckets=(64,), max_new_tokens=32,
+                    cache_dtype=jnp.float32, use_flash=False,
+                    steps_per_call=2, mesh=mesh)
+    tp_pool = ContinuousEngine(tp_eng, rows=2, bucket=64, extra_slots=64,
+                               steps_per_call=2)
+    prompt = list(range(10, 40))
+    expect = _collect(cont.submit(prompt, max_new_tokens=6, eos_id=-1))
+    got = _collect(tp_pool.submit(prompt, max_new_tokens=6, eos_id=-1))
+    assert got == expect
+    from valley_tpu.parallel.sharding import kv_cache_sharding
+
+    want = kv_cache_sharding(mesh, 2, cfg.text.kv_heads,
+                             ndim=tp_pool._cache.k.ndim)
+    assert tp_pool._cache.k.sharding.is_equivalent_to(want,
+                                                      tp_pool._cache.k.ndim)
+
+
 def test_prefix_admission_token_identical(engine, cont):
     """Admitting from a PrefixCache (shared system-prompt KV copied,
     only the suffix prefilled) must stream the same greedy tokens as a

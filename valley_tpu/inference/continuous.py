@@ -134,6 +134,17 @@ class ContinuousEngine:
         cfg, rows = self.engine.cfg, self.rows
         self._cache = llama.init_cache(cfg.text, rows, self.smax,
                                        self.engine.cache_dtype)
+        if self.engine.mesh is not None:
+            # tensor-parallel pooled serving (e.g. 13B over 2 chips with
+            # --batch-window-ms -1): shard the pool KV over the mesh like
+            # the engine's own cache instead of replicating GBs per chip
+            from valley_tpu.parallel.sharding import kv_cache_sharding
+
+            self._cache = jax.tree.map(
+                lambda x: jax.device_put(
+                    x, kv_cache_sharding(self.engine.mesh, rows,
+                                         cfg.text.kv_heads,
+                                         ndim=x.ndim)), self._cache)
         self._valid = jnp.zeros((rows, self.smax), bool)
         self._seq = jnp.zeros((rows,), jnp.int32)
         self._slot = jnp.full((rows,), self.smax - 1, jnp.int32)
