@@ -141,6 +141,31 @@ def main():
     report(f"13B int8 TP={tp} fused {n_steps}-step decode, bucket "
            f"{bucket}, smax {smax}", lowered.compile())
 
+    # pooled (continuous-batching) decode at TP: the 13B multi-chip
+    # aggregate-serving config (--tensor-parallel N --batch-window-ms -1)
+    from valley_tpu.inference.continuous import ContinuousEngine
+
+    rows = 4
+    pool = ContinuousEngine.__new__(ContinuousEngine)
+    pool.engine = eng
+    pool._spec = None
+    pool_cache = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(
+            s.shape, s.dtype,
+            sharding=kv_cache_sharding(mesh, rows, tc.kv_heads,
+                                       ndim=len(s.shape))),
+        jax.eval_shape(lambda: llama.init_cache(tc, rows, smax,
+                                                jnp.int8)))
+    pool_lowered = jax.jit(
+        pool._decode_impl, static_argnames=("n_steps",),
+        donate_argnames=("cache", "valid")).lower(
+        params, pool_cache, r((rows, smax), jnp.bool_),
+        r((rows,), jnp.int32), r((rows,), jnp.int32),
+        r((rows,), jnp.int32), key_arg, r((rows,), jnp.float32),
+        r((rows,), jnp.float32), n_steps=16)
+    report(f"13B int8 TP={tp} pooled decode ({rows} rows, smax {smax})",
+           pool_lowered.compile())
+
     # prefill is where the single-chip 13B OOMed in round 2 — check it
     # too (8-frame video, vision tower + 512-token LLM prefill)
     frames = 8
