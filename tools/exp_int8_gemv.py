@@ -34,12 +34,24 @@ def sync(x):
     return np.asarray(jax.device_get(leaf)).ravel()[:1]
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=0)
+def _mk_int8_slice(n, base):
+    x = jnp.arange(n, dtype=jnp.int32) + base
+    return ((x % 251) - 125).astype(jnp.int8)
+
+
 def _mk_int8(shape):
-    # host-side build: an on-device int32 arange of this size is ~6 GB of
-    # HBM temps per tensor (OOMs the 16 GB chip at 3 tensors)
-    n = int(np.prod(shape))
-    arr = ((np.arange(n, dtype=np.int32) % 251) - 125).astype(np.int8)
-    return jax.device_put(arr.reshape(shape))
+    # per-leading-dim device-side build: a full-size int32 arange temp is
+    # ~6 GB of HBM (OOMs at 3 tensors), while building on the host pays a
+    # multi-GB transfer through the axon tunnel (minutes) — per-slice
+    # temps are ~4x slice bytes (~0.7 GB here)
+    n = int(np.prod(shape[1:]))
+    out = jnp.stack([_mk_int8_slice(n, jnp.int32(i * (n % 251)))
+                     for i in range(shape[0])])
+    return out.reshape(shape)
 
 
 def main():
@@ -48,19 +60,22 @@ def main():
 
     int8 = mode.startswith(("deq", "s8s8", "sum"))
     oi = mode.endswith("oi")
-    if int8:
-        a = _mk_int8((L, F, H) if oi else (L, H, F))   # x(1,H) -> (1,F)
-        b = _mk_int8((L, H, F) if oi else (L, F, H))   # back to (1,H)
-        sa = jnp.full((L, F), 0.01, jnp.bfloat16)
-        sb = jnp.full((L, H), 0.01, jnp.bfloat16)
-    else:
-        dt = jnp.bfloat16
-        a = jnp.full((L, F, H) if oi else (L, H, F), 0.01, dt)
-        b = jnp.full((L, H, F) if oi else (L, F, H), 0.01, dt)
-        sa = sb = None
-    nbytes = a.size * a.dtype.itemsize + b.size * b.dtype.itemsize
     x0 = jnp.full((1, H), 0.01, jnp.bfloat16)
-    jax.block_until_ready((a, b, x0))
+    nbytes = 0
+    if not mode.startswith(("mlp", "layer7b")):
+        # chain operands (the mlp/layer7b modes build their own weights)
+        if int8:
+            a = _mk_int8((L, F, H) if oi else (L, H, F))  # x(1,H)->(1,F)
+            b = _mk_int8((L, H, F) if oi else (L, F, H))  # back to (1,H)
+            sa = jnp.full((L, F), 0.01, jnp.bfloat16)
+            sb = jnp.full((L, H), 0.01, jnp.bfloat16)
+        else:
+            dt = jnp.bfloat16
+            a = jnp.full((L, F, H) if oi else (L, H, F), 0.01, dt)
+            b = jnp.full((L, H, F) if oi else (L, F, H), 0.01, dt)
+            sa = sb = None
+        nbytes = a.size * a.dtype.itemsize + b.size * b.dtype.itemsize
+        jax.block_until_ready((a, b, x0))
 
     def gemv(x, w, s):
         if mode.startswith("s8s8"):
@@ -84,7 +99,58 @@ def main():
             return (y * s.astype(jnp.float32)).astype(x.dtype)
         return (jnp.einsum("bi,oi->bo", x, w) if oi else x @ w) * 1e-3
 
-    if mode in ("mlp", "mlpbf"):
+    if mode.startswith("layer7b"):
+        # the engine's ACTUAL per-layer decode GEMV chain at 7B fused
+        # shapes: wqkv (H->3H), wo (H->H), w_gateup (H->2F), w_down
+        # (F->H), all (out, in) like the serving layout.  Variants:
+        #   layer7b     — int8 dequant-dot (the shipped path)
+        #   layer7bs8   — native int8 MXU dot, per-token activation quant
+        #   layer7bbf   — bf16 weights (2x bytes)
+        kind = mode[len("layer7b"):] or "deq"
+        shp = [(3 * H, H), (H, H), (2 * F, H), (H, F)]
+        i8 = kind != "bf"
+        if i8:
+            ws = [_mk_int8((L,) + s) for s in shp]
+            ss = [jnp.full((L, s[0]), 0.01, jnp.bfloat16) for s in shp]
+        else:
+            ws = [jnp.full((L,) + s, 0.01, jnp.bfloat16) for s in shp]
+            ss = [jnp.zeros((L, 1), jnp.bfloat16) for s in shp]
+        nbytes = sum(w.size * w.dtype.itemsize for w in ws)
+        jax.block_until_ready(ws)
+
+        def proj(x, w, s):
+            if kind == "s8":
+                amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+                sx = jnp.maximum(amax, 1e-6).astype(jnp.float32) / 127.0
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                              -127, 127).astype(jnp.int8)
+                y = jax.lax.dot_general(
+                    xq, w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                return (y.astype(jnp.float32) * sx *
+                        s.astype(jnp.float32)).astype(jnp.bfloat16)
+            y = jnp.einsum("bi,oi->bo", x, w.astype(x.dtype),
+                           preferred_element_type=jnp.float32)
+            return ((y * s.astype(jnp.float32)).astype(x.dtype) if i8
+                    else y.astype(x.dtype) * 1e-2)
+
+        @jax.jit
+        def run(ws, ss, x0):
+            def pass_(x, _):
+                def body(x, wss):
+                    (w1, w2, w3, w4), (s1, s2, s3, s4) = wss
+                    a = proj(x, w1, s1)                     # (1, 3H)
+                    x = x + proj(a[:, :H] * 1e-2, w2, s2)   # attn out
+                    g = proj(x.astype(jnp.bfloat16), w3, s3)  # (1, 2F)
+                    h = (g[:, :F] * g[:, F:] * 1e-4).astype(jnp.bfloat16)
+                    x = x + proj(h, w4, s4)
+                    return (x * 1e-1).astype(jnp.bfloat16), None
+                x, _ = jax.lax.scan(body, x, (tuple(ws), tuple(ss)))
+                return x, None
+            x, _ = jax.lax.scan(pass_, x0, None, length=r)
+            return x
+        args = (ws, ss, x0)
+    elif mode in ("mlp", "mlpbf"):
         # llama-MLP-shaped layer: gate+up are INDEPENDENT (H->F) GEMVs,
         # down (F->H) depends on both — tests whether 2-wide GEMV
         # parallelism hides the dequant latency a serial chain exposes
