@@ -245,3 +245,52 @@ def test_load_engine_frame_bucket_defaults():
     A.frame_buckets = "off"
     eng, _tk = load_engine(A())
     assert eng.frame_buckets is None
+
+
+def test_decode_ramp_token_identical_and_schedule(cfg, params):
+    """A ramped decode schedule (small first fused calls, large steady
+    calls) must emit the exact greedy token stream of the unramped
+    engine — the scan body is per-token, so chunk boundaries are
+    invisible to greedy decode — while the per-call step counts follow
+    ramp-then-steady."""
+    plain = Engine(cfg, params, buckets=(32,), max_new_tokens=16,
+                   cache_dtype=jnp.float32, use_flash=False,
+                   steps_per_call=8)
+    ramped = Engine(cfg, params, buckets=(32,), max_new_tokens=16,
+                    cache_dtype=jnp.float32, use_flash=False,
+                    steps_per_call=8, decode_ramp=(1, 2))
+    prompt = np.random.default_rng(5).integers(5, 400, size=11).tolist()
+    gen = GenerationConfig(max_new_tokens=14, do_sample=False)
+    t_plain = [int(t[0]) for t in plain.generate_tokens([prompt], gen=gen,
+                                                        eos_ids=[-1])]
+    sizes = []
+    orig = ramped._decode
+
+    def spy(*a, **kw):
+        sizes.append(kw["n_steps"])
+        return orig(*a, **kw)
+
+    ramped._decode = spy
+    t_ramp = [int(t[0]) for t in ramped.generate_tokens([prompt], gen=gen,
+                                                        eos_ids=[-1])]
+    assert t_ramp == t_plain
+    # 1 prefill token + calls of 1, 2, 8, then the 2-step remainder
+    assert sizes == [1, 2, 8, 2]
+
+
+def test_decode_ramp_session_identical(cfg, params):
+    """ChatSession turns follow the same ramped schedule and stay greedy
+    token-identical to the unramped session."""
+    from valley_tpu.inference.engine import ChatSession
+
+    gen = GenerationConfig(max_new_tokens=10, do_sample=False, stop=())
+    replies = []
+    for ramp in ((), (1, 3)):
+        eng = Engine(cfg, params, buckets=(32,), max_new_tokens=16,
+                     cache_dtype=jnp.float32, use_flash=False,
+                     steps_per_call=6, decode_ramp=ramp)
+        sess = ChatSession(eng, gen)
+        r1 = sess.chat(list(range(10, 22)), eos_ids=[-1])
+        r2 = sess.chat(list(range(30, 36)), eos_ids=[-1])
+        replies.append((r1, r2))
+    assert replies[0] == replies[1]

@@ -56,9 +56,12 @@ def main():
     jax.block_until_ready(params)
     # frame buckets (1, 8): single-image and 8-frame-video requests each
     # get a warmed prefill executable (the worker's CLI default)
+    # worker CLI defaults: 32-step steady decode with a (2, 6) ramp —
+    # first chunk after 2 decoded tokens instead of 32 (the round-3
+    # 584 ms first-chunk regression was the unramped 32-step first call)
     engine = Engine(cfg, params, buckets=(512,), max_new_tokens=128,
                     cache_dtype=jnp.int8, steps_per_call=32,
-                    frame_buckets=(1, 8))
+                    decode_ramp=(2, 6), frame_buckets=(1, 8))
     t0 = time.perf_counter()
     engine.warmup()   # compiles BOTH frame buckets (worker startup flow)
     print(f"warmup (frame buckets 1+8): {time.perf_counter() - t0:.0f} s",

@@ -117,6 +117,7 @@ class Engine:
                  cache_dtype=jnp.bfloat16,
                  use_flash: Optional[bool] = None,
                  steps_per_call: int = 4,
+                 decode_ramp: Sequence[int] = (),
                  mesh=None,
                  decode_unroll: int = 1,
                  decode_kernel: Optional[bool] = None,
@@ -149,6 +150,18 @@ class Engine:
         # stopping happens every K tokens (the reference streams every 2
         # anyway, `model_worker.py:496`).
         self.steps_per_call = max(1, steps_per_call)
+        # Ramped fused-decode schedule: the first calls of a reply run
+        # fewer steps (e.g. (2, 6)), later calls the full steps_per_call.
+        # A large steps_per_call amortizes dispatch for high steady-state
+        # throughput, but the first stream chunk can only be emitted once
+        # the first fused call returns — at steps_per_call=32 that is
+        # ~330 ms of decode on top of prefill (measured round 3,
+        # tools/e2e_serve_7b.py).  The ramp bounds first-chunk latency to
+        # a few steps while keeping the steady-state amortization; greedy
+        # output is chunk-boundary-invariant (the scan body is per-token),
+        # sampled output draws per-call RNG keys so boundaries shift the
+        # sample stream (same distribution).
+        self.decode_ramp = tuple(int(s) for s in decode_ramp if int(s) > 0)
         # Layer-scan unroll factor for the single-stream decode step
         # (numerically identical; measured SLOWER on v5e — see
         # llama.forward_hidden — so the default stays 1).
@@ -279,6 +292,14 @@ class Engine:
 
     # -- host-side loop --------------------------------------------------
 
+    def _ramp_iter(self) -> Iterator[int]:
+        """Per-call fused step counts: the ramp prefix once, then
+        ``steps_per_call`` forever.  Callers clip each size to the tokens
+        still wanted."""
+        yield from self.decode_ramp
+        while True:
+            yield self.steps_per_call
+
     def warmup(self, batch_sizes: Sequence[int] = (1,),
                frames: Optional[int] = None,
                with_images: bool = True) -> None:
@@ -286,9 +307,14 @@ class Engine:
         request hits a warm cache (the reference pays its compile/alloc
         cost on the first request too, but here a cold compile is tens of
         seconds — serve workers call this at startup)."""
-        gen = GenerationConfig(max_new_tokens=min(self.steps_per_call + 1,
-                                                  self.max_new_tokens),
-                               do_sample=False)
+        # run the whole decode schedule (every ramp size + one steady
+        # call) so each distinct n_steps executable compiles here, not on
+        # the first request
+        gen = GenerationConfig(
+            max_new_tokens=min(
+                1 + sum(self.decode_ramp) + self.steps_per_call,
+                self.max_new_tokens),
+            do_sample=False)
         # with frame bucketing, warm EVERY frame bucket (mixed image/video
         # traffic then never hits a cold prefill executable).  Text-only
         # requests compile a separate (has_images=False) prefill — warm
@@ -378,8 +404,9 @@ class Engine:
         yield tok_np
         alive &= ~np.isin(tok_np, eos_arr)
         step = 1
+        sched = self._ramp_iter()
         while step < max_new and alive.any():
-            n_steps = min(self.steps_per_call, max_new - step)
+            n_steps = min(next(sched), max_new - step)
             key, sub = jax.random.split(key)
             toks, cache, valid, seq_len = self._decode(
                 self.params, cache, valid, tok, jnp.int32(slot), seq_len,
@@ -695,8 +722,9 @@ class ChatSession:
         if on_token:
             on_token(t0)
         stopped = t0 in eos_arr
+        sched = eng._ramp_iter()
         while len(tokens) < max_new and not stopped:
-            n_steps = min(eng.steps_per_call, max_new - len(tokens))
+            n_steps = min(next(sched), max_new - len(tokens))
             self._key, sub = jax.random.split(self._key)
             # the pending input token is tokens[-1], at conversation
             # position seq_host + (len(tokens) - 1)

@@ -686,10 +686,17 @@ def load_engine(args):
         from valley_tpu.parallel.mesh import create_mesh
 
         mesh = create_mesh(data=1, fsdp=1, model=tp)
+    ramp = getattr(args, "decode_ramp", "") or ""
+    if ramp.strip().lower() == "off":
+        ramp = ""
     engine = Engine(cfg, params,
                     buckets=tuple(int(b) for b in args.buckets.split(",")),
                     max_new_tokens=args.max_new_tokens,
                     cache_dtype=cache_dtype,
+                    steps_per_call=int(getattr(args, "steps_per_call", 32)
+                                       or 32),
+                    decode_ramp=tuple(int(s) for s in ramp.split(","))
+                    if ramp else (),
                     decode_w4=getattr(args, "quantize", None) == "int4",
                     frame_buckets=fbt, mesh=mesh)
     return engine, tokenizer
@@ -728,6 +735,19 @@ def main():
                              "'off' for exact shapes")
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile every bucket before registering")
+    parser.add_argument("--steps-per-call", type=int, default=32,
+                        help="fused decode steps per device call; large "
+                             "values amortize per-dispatch latency "
+                             "(~25 ms on this fabric) into high steady "
+                             "throughput.  Also the admission "
+                             "granularity of continuous batching")
+    parser.add_argument("--decode-ramp", type=str, default="2,6",
+                        help="comma list of fused step counts for the "
+                             "FIRST decode calls of each reply (then "
+                             "--steps-per-call thereafter): bounds "
+                             "first-chunk latency to a few tokens while "
+                             "keeping steady-state throughput; 'off' "
+                             "disables")
     parser.add_argument("--quantize", type=str, default=None,
                         choices=["int8", "int4"],
                         help="weight-only decoder quantization: int8 "
