@@ -244,6 +244,48 @@ def test_prompt_pad_compaction_extends_budget(engine):
     assert got[:20] == expect
 
 
+def test_pooled_decode_ramp_token_identical_and_schedule(engine):
+    """A ramped pool must (a) emit the exact greedy token stream of the
+    unramped pool, and (b) decode in ramp-size chunks while any active
+    row is young — small chunks right after admission (bounding pooled
+    first-chunk latency), steady-state ``steps`` once every row matured,
+    and back to ramp sizes when a new request joins mid-flight."""
+    c = ContinuousEngine(engine, rows=2, bucket=64, extra_slots=64,
+                         steps_per_call=4, decode_ramp=(1, 2))
+    sizes = []
+    orig = c._decode
+
+    def spy(*a, n_steps, **kw):
+        sizes.append(n_steps)
+        return orig(*a, n_steps=n_steps, **kw)
+
+    c._decode = spy
+    a = list(range(10, 40))
+    expect_a = _solo(engine, a, 16)
+    got = _collect(c.submit(a, max_new_tokens=16, eos_id=-1))
+    assert got == expect_a
+    # schedule: ramp prefix (clipped to observed order) then steady 4s
+    assert sizes[0] == 1 and sizes[1] == 2
+    assert set(sizes) <= {1, 2, 4} and sizes[-1] == 4
+
+    # a mid-flight join drops the pool back to ramp-size chunks
+    sizes.clear()
+    b = list(range(45, 60))
+    expect_b = _solo(engine, b, 6)
+    qa = c.submit(a, max_new_tokens=24, eos_id=-1)
+    got_a = [qa.get()]
+    while not sizes or sizes[-1] != 4:   # wait until A reaches steady state
+        time.sleep(0.05)
+    qb = c.submit(b, max_new_tokens=6, eos_id=-1)
+    got_b = _collect(qb)
+    got_a += _collect(qa)
+    assert got_a == _solo(engine, a, 24)
+    assert got_b == expect_b
+    steady_idx = sizes.index(4)
+    assert 1 in sizes[steady_idx:], \
+        "join did not re-enter the ramp"
+
+
 def test_bad_request_fails_without_killing_scheduler(engine, cont):
     """A prompt longer than the prefill bucket must error on its own queue
     (not hang) and leave the scheduler serving later requests."""

@@ -69,6 +69,7 @@ class ContinuousEngine:
                  bucket: Optional[int] = None,
                  extra_slots: Optional[int] = None,
                  steps_per_call: Optional[int] = None,
+                 decode_ramp: Optional[Any] = None,
                  seed: int = 0,
                  speculative: bool = False,
                  spec: Optional["SpecConfig"] = None):
@@ -79,6 +80,16 @@ class ContinuousEngine:
             else engine.max_new_tokens
         self.smax = self.bucket + extra
         self.steps = steps_per_call or engine.steps_per_call
+        # Pooled decode ramp (mirrors Engine.decode_ramp): while any
+        # active row has emitted fewer tokens than the ramp covers, the
+        # pool decodes in the row's next ramp-size chunk instead of the
+        # full ``steps`` — a newly admitted request streams its first
+        # tokens after a few steps instead of waiting out a whole
+        # steady-state chunk (~330 ms at steps=32 on 7B int8).  Mature
+        # rows pay a couple of extra dispatches while a newcomer ramps;
+        # greedy output is chunk-boundary-invariant.
+        self.ramp = tuple(int(s) for s in decode_ramp) \
+            if decode_ramp is not None else engine.decode_ramp
         self._key = jax.random.key(seed)
         self._key_lock = threading.Lock()  # split from 2 threads
 
@@ -305,15 +316,18 @@ class ContinuousEngine:
     drain = staticmethod(lambda outq: _drain(outq))
 
     def warmup(self, frames: int = 0) -> None:
-        """Compile every admission-bucket prefill + the pooled decode."""
+        """Compile every admission-bucket prefill + every pooled decode
+        chunk size (each ramp entry and the steady-state ``steps`` are
+        distinct ``n_steps`` executables)."""
         images = None
         if frames:
             v = self.engine.cfg.vision
             images = np.zeros((1, frames, 3, v.image_size, v.image_size),
                               np.float32)
+        new = 1 + sum(self.ramp) + self.steps
         # a length-b prompt lands exactly in admission bucket b
         queues = [self.submit(list(range(2, 2 + b)), images=images,
-                              max_new_tokens=self.steps + 1, eos_id=-1)
+                              max_new_tokens=new, eos_id=-1)
                   for b in self._admission_buckets]
         for outq in queues:
             for _ in _drain(outq):
@@ -418,6 +432,27 @@ class ContinuousEngine:
 
     # -- scheduler loop ----------------------------------------------------
 
+    def _next_chunk(self) -> int:
+        """Fused step count for the next pooled decode call: the smallest
+        next-scheduled size over active rows — a ramp entry while any row
+        is still inside the ramp, ``steps`` once every row has matured.
+        Only values from ``ramp`` ∪ {steps} ever occur, so warmup covers
+        every executable."""
+        if not self.ramp:
+            return self.steps
+        best = self.steps
+        for req in self._active:
+            if req is None:
+                continue
+            done = req.emitted - 1   # tokens from pooled decode so far
+            acc = 0
+            for r in self.ramp:
+                acc += r
+                if done < acc:
+                    best = min(best, r)
+                    break
+        return best
+
     def _admit(self):
         for b in range(self.rows):
             if self._active[b] is not None:
@@ -494,6 +529,7 @@ class ContinuousEngine:
             with self._key_lock:
                 self._key, sub = jax.random.split(self._key)
             counts_np = None
+            n_steps = self._next_chunk()
             try:
                 if self._spec is None:
                     toks, self._cache, self._valid, self._token, \
@@ -502,7 +538,7 @@ class ContinuousEngine:
                             self._token, self._slot, self._seq, sub,
                             jnp.asarray(self._temps),
                             jnp.asarray(self._top_ps),
-                            n_steps=self.steps)
+                            n_steps=n_steps)
                 else:
                     (toks, counts, self._cache, self._valid, self._token,
                      self._slot, self._seq, self._hist,
@@ -510,7 +546,7 @@ class ContinuousEngine:
                         self.engine.params, self._cache, self._valid,
                         self._token, self._slot, self._seq, self._hist,
                         self._hist_len, sub, jnp.asarray(self._temps),
-                        jnp.asarray(self._top_ps), n_steps=self.steps)
+                        jnp.asarray(self._top_ps), n_steps=n_steps)
                     counts_np = np.asarray(counts)   # (steps, rows)
             except Exception as e:  # noqa: BLE001 — deliver, don't die
                 logger.exception("decode chunk failed")
