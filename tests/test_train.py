@@ -149,6 +149,35 @@ def test_lora_dropout_deterministic_and_train_only(cfg, params):
     assert off == base            # rate 0 == no dropout
 
 
+@pytest.mark.parametrize("policy", [True, "dots"])
+def test_remat_policies_match_no_remat_grads(cfg, params, policy):
+    """Both checkpoint policies are numerics-preserving: loss and grads
+    equal the un-rematerialized backward (fp32 params on CPU -> exact up
+    to reduction order)."""
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(5, 400, (2, 16)))
+    batch = {"input_ids": ids, "labels": jnp.where(ids > 4, ids, -100)}
+
+    def lg(remat):
+        return jax.value_and_grad(
+            lambda p: valley.loss_fn(p, cfg, batch, remat=remat))(params)
+
+    l0, g0 = lg(False)
+    l1, g1 = lg(policy)
+    assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6),
+        g0, g1)
+
+
+def test_remat_policy_unknown_rejected(cfg, params):
+    ids = jnp.asarray(np.random.default_rng(0).integers(5, 400, (1, 8)))
+    batch = {"input_ids": ids, "labels": ids}
+    with pytest.raises(ValueError, match="remat policy"):
+        valley.loss_fn(params, cfg, batch, remat="everything")
+
+
 def test_linear_schedule_warmup_ramps_from_zero():
     tc = TrainConfig(learning_rate=1e-2, lr_scheduler_type="linear",
                      warmup_ratio=0.1)

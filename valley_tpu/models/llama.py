@@ -484,6 +484,26 @@ def embed(params, input_ids: jnp.ndarray) -> jnp.ndarray:
     return params["embed"][input_ids]
 
 
+def _remat_policy(remat):
+    """Map the ``remat`` knob to a jax.checkpoint policy.
+
+    True / "full"  — save nothing, recompute the whole layer forward in
+                     the backward pass (minimum memory; the backward
+                     re-pays one forward of FLOPs).
+    "dots"         — save matmul (MXU) outputs, recompute only the cheap
+                     elementwise/norm glue: no matmul recompute at the
+                     cost of ~(6h + 3f) activation floats per token per
+                     layer (see tools/exp_train_mfu.py for the measured
+                     step-time trade on 7B).
+    """
+    if remat in (True, "full"):
+        return jax.checkpoint_policies.nothing_saveable
+    if remat == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat policy {remat!r} "
+                     "(use True/'full', 'dots', or False)")
+
+
 def forward_hidden(params, cfg: TextConfig, inputs_embeds: jnp.ndarray,
                    attn_mask: Optional[jnp.ndarray] = None,
                    positions: Optional[jnp.ndarray] = None,
@@ -525,8 +545,8 @@ def forward_hidden(params, cfg: TextConfig, inputs_embeds: jnp.ndarray,
             return x, None
 
         if remat:
-            scan_body = jax.checkpoint(
-                scan_body, policy=jax.checkpoint_policies.nothing_saveable)
+            scan_body = jax.checkpoint(scan_body,
+                                       policy=_remat_policy(remat))
         hidden, _ = jax.lax.scan(scan_body, inputs_embeds, xs)
         new_cache = None
     elif b == 1:

@@ -57,7 +57,10 @@ class TrainConfig:
     num_train_epochs: int = 1
     per_device_train_batch_size: int = 16
     gradient_accumulation_steps: int = 1
-    gradient_checkpointing: bool = True
+    # True/"full": recompute whole layers in backward (minimum memory).
+    # "dots": save matmul outputs, recompute only elementwise glue —
+    # faster when activations fit (llama._remat_policy).  False: off.
+    gradient_checkpointing: Any = True
     logging_steps: int = 1
     save_steps: int = 2400
     save_total_limit: int = 1
