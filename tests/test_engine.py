@@ -278,6 +278,60 @@ def test_decode_ramp_token_identical_and_schedule(cfg, params):
     assert sizes == [1, 2, 8, 2]
 
 
+def test_tail_call_pads_to_warm_size(cfg, params):
+    """A reply whose remainder is smaller than the steady fused-call size
+    pads UP to a warm schedule size (no one-off n_steps executable) and
+    discards the surplus — the kept stream is bit-identical to the
+    steps_per_call=1 engine because per-step RNG splits off the scan
+    carry, not off n_steps."""
+    eng = Engine(cfg, params, buckets=(32,), max_new_tokens=32,
+                 cache_dtype=jnp.float32, use_flash=False,
+                 steps_per_call=8)
+    ref = Engine(cfg, params, buckets=(32,), max_new_tokens=32,
+                 cache_dtype=jnp.float32, use_flash=False,
+                 steps_per_call=1)
+    prompt = np.random.default_rng(7).integers(5, 400, size=9).tolist()
+    gen = GenerationConfig(max_new_tokens=12, do_sample=False)
+    sizes = []
+    orig = eng._decode
+
+    def spy(*a, **kw):
+        sizes.append(kw["n_steps"])
+        return orig(*a, **kw)
+
+    eng._decode = spy
+    toks = [int(t[0]) for t in eng.generate_tokens([prompt], gen=gen,
+                                                   eos_ids=[-1])]
+    t_ref = [int(t[0]) for t in ref.generate_tokens([prompt], gen=gen,
+                                                    eos_ids=[-1])]
+    assert toks == t_ref and len(toks) == 12
+    # 1 prefill token, one steady call of 8, then want=3 padded to 8
+    assert sizes == [8, 8]
+
+
+def test_tail_call_exact_when_cache_lacks_room(cfg, params):
+    """When max_new_tokens hits the engine maximum the cache has no slack
+    for a padded call — the tail falls back to the exact remainder."""
+    eng = Engine(cfg, params, buckets=(32,), max_new_tokens=12,
+                 cache_dtype=jnp.float32, use_flash=False,
+                 steps_per_call=8)
+    prompt = np.random.default_rng(9).integers(5, 400, size=9).tolist()
+    gen = GenerationConfig(max_new_tokens=12, do_sample=False)
+    sizes = []
+    orig = eng._decode
+
+    def spy(*a, **kw):
+        sizes.append(kw["n_steps"])
+        return orig(*a, **kw)
+
+    eng._decode = spy
+    toks = [int(t[0]) for t in eng.generate_tokens([prompt], gen=gen,
+                                                   eos_ids=[-1])]
+    assert len(toks) == 12
+    # room after the 8-step call is 12 - 8 = 4 < 8: exact 3-step tail
+    assert sizes == [8, 3]
+
+
 def test_decode_ramp_session_identical(cfg, params):
     """ChatSession turns follow the same ramped schedule and stay greedy
     token-identical to the unramped session."""

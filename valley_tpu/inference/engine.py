@@ -162,6 +162,11 @@ class Engine:
         # sampled output draws per-call RNG keys so boundaries shift the
         # sample stream (same distribution).
         self.decode_ramp = tuple(int(s) for s in decode_ramp if int(s) > 0)
+        # Warm fused-call sizes: every distinct n_steps is its own XLA
+        # executable, so decode loops only ever dispatch these sizes
+        # (short tails pad up via _tail_steps and discard the surplus).
+        self._sched_sizes = tuple(
+            sorted(set(self.decode_ramp) | {self.steps_per_call}))
         # Layer-scan unroll factor for the single-stream decode step
         # (numerically identical; measured SLOWER on v5e — see
         # llama.forward_hidden — so the default stays 1).
@@ -294,11 +299,29 @@ class Engine:
 
     def _ramp_iter(self) -> Iterator[int]:
         """Per-call fused step counts: the ramp prefix once, then
-        ``steps_per_call`` forever.  Callers clip each size to the tokens
-        still wanted."""
+        ``steps_per_call`` forever.  Callers pad the final (short) call
+        back up to a schedule size via ``_tail_steps``."""
         yield from self.decode_ramp
         while True:
             yield self.steps_per_call
+
+    def _tail_steps(self, want: int, room: int) -> int:
+        """Fused-call size when fewer than a full scheduled call's tokens
+        remain.  Prefer a warm schedule size (ramp sizes/steps_per_call,
+        all pre-compiled by ``warmup``) over the exact remainder: each
+        distinct ``n_steps`` is its own XLA executable (~20 s cold at 7B,
+        and requests pick arbitrary ``max_new_tokens`` so exact tails
+        would keep compiling), while a padded call's surplus steps cost
+        ~10 ms each and only on the reply's final call.  Callers discard
+        tokens past ``max_new`` — the kept prefix is bit-identical to an
+        exact-size call because per-step RNG keys split off the scan
+        carry, not off ``n_steps``.  Falls back to the exact remainder
+        when the cache lacks room for a padded call (only possible when
+        a request's ``max_new_tokens`` hits the engine maximum)."""
+        for s in self._sched_sizes:
+            if want <= s <= room:
+                return s
+        return max(1, min(want, room))
 
     def warmup(self, batch_sizes: Sequence[int] = (1,),
                frames: Optional[int] = None,
@@ -405,8 +428,12 @@ class Engine:
         alive &= ~np.isin(tok_np, eos_arr)
         step = 1
         sched = self._ramp_iter()
+        cache_slots = bucket + self.max_new_tokens
         while step < max_new and alive.any():
-            n_steps = min(next(sched), max_new - step)
+            want = max_new - step
+            n_steps = next(sched)
+            if n_steps > want:   # final call: pad to a warm size
+                n_steps = self._tail_steps(want, cache_slots - slot)
             key, sub = jax.random.split(key)
             toks, cache, valid, seq_len = self._decode(
                 self.params, cache, valid, tok, jnp.int32(slot), seq_len,
@@ -415,7 +442,7 @@ class Engine:
             slot += n_steps
             toks_np = np.asarray(toks)            # (n_steps, B)
             tok = toks[-1]
-            for i in range(n_steps):
+            for i in range(min(n_steps, want)):
                 if not alive.any():
                     return
                 yield toks_np[i]
@@ -724,7 +751,10 @@ class ChatSession:
         stopped = t0 in eos_arr
         sched = eng._ramp_iter()
         while len(tokens) < max_new and not stopped:
-            n_steps = min(next(sched), max_new - len(tokens))
+            want = max_new - len(tokens)
+            n_steps = next(sched)
+            if n_steps > want:   # final call: pad to a warm size
+                n_steps = eng._tail_steps(want, cache.max_len - slot)
             self._key, sub = jax.random.split(self._key)
             # the pending input token is tokens[-1], at conversation
             # position seq_host + (len(tokens) - 1)
@@ -734,7 +764,7 @@ class ChatSession:
                 gen.temperature, gen.top_p, do_sample=gen.do_sample,
                 n_steps=n_steps)
             slot += n_steps
-            toks_np = np.asarray(toks)[:, 0]
+            toks_np = np.asarray(toks)[:want, 0]
             tok = toks[-1]
             for t in toks_np:
                 tokens.append(int(t))
