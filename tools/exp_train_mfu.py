@@ -6,15 +6,26 @@ this gives the TRAINING step the same treatment: steady-state step time
 reference's `valley_stage1.yaml`) and the stage-2 LoRA recipe on one
 v5e chip, with a remat on/off ablation.
 
-FLOPs come from XLA's own cost model (`compiled.cost_analysis()`), so
-frozen-weight dW pruning, remat recompute and the vision tower's pruned
-backward are all counted as compiled, not estimated.
+FLOPs are counted analytically per recipe (XLA's `cost_analysis()`
+counts a `lax.scan` body ONCE, undercounting the 32-layer stack ~20x —
+verified here: it reports 1.91 TFLOP for a step that provably runs
+~30).  Accounting, matmul-only + attention:
 
-MFU = XLA flops / (device time x 197e12) — v5e bf16 MXU peak.  Device
-time subtracts the measured per-dispatch floor (~25 ms on this fabric).
+  - frozen matmuls (stage-1 LLM, lm_head/embed): fwd + dX        (2x)
+  - trainable matmuls (projector, LoRA adapters): fwd + dX + dW  (3x)
+  - attention (no weights): fwd + ~2x fwd backward               (3x)
+  - frozen vision tower behind stop_gradient: fwd only           (1x)
+
+MFU uses MODEL flops (remat recompute excluded — that is the point of
+MFU vs HFU); the remat-off row holds the flops fixed so the delta IS
+the recompute+restaging cost.  Device time subtracts the measured
+per-dispatch floor (~25 ms on this fabric).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site \
-    python tools/exp_train_mfu.py [batch] [seqlen] [frames]
+    python tools/exp_train_mfu.py [batch] [seqlen] [frames] [recipe]
+
+recipe in {all, s1, s1nr, lora} — run one per process on the real chip
+(a prior recipe's 14 GB param tree fragments the 16 GB HBM).
 """
 
 from __future__ import annotations
@@ -65,11 +76,50 @@ def make_batch(cfg, b, s, t):
     }
 
 
-def cost_flops(compiled) -> float:
-    ca = compiled.cost_analysis()
-    if isinstance(ca, (list, tuple)):
-        ca = ca[0]
-    return float(ca.get("flops", 0.0))
+def train_flops(cfg, b, s, t, recipe) -> float:
+    """Analytic MODEL flops for one train step (no remat recompute).
+
+    Frozen matmuls contribute fwd + dX (2x fwd); trainable ones fwd +
+    dX + dW (3x); attention has no weights -> fwd + ~2x fwd backward;
+    the stop_gradient'ed vision tower is forward-only.
+    """
+    tc, vc = cfg.text, cfg.vision
+    tok = b * s
+
+    # LLM decoder matmul weights (wq/wo square, wk/wv at kv_heads width,
+    # gate/up/down MLP) — frozen in both stage-1 and the LoRA recipe.
+    wparams = tc.num_hidden_layers * (
+        2 * tc.hidden_size * tc.hidden_size
+        + 2 * tc.hidden_size * tc.head_dim * tc.kv_heads
+        + 3 * tc.hidden_size * tc.intermediate_size)
+    llm = 2 * 2 * wparams * tok
+    # causal attention: QK^T + PV, fwd 2 * (S^2/2) * h * 2; bwd ~2x fwd
+    attn = 3 * tc.num_hidden_layers * (s * s // 2) * tc.hidden_size \
+        * 2 * 2 * b
+    # lm_head + embed-gather: loss over every position, dX only
+    head = 2 * 2 * tc.hidden_size * tc.vocab_size * tok
+
+    # frozen CLIP tower behind stop_gradient: forward only
+    n = vc.num_positions
+    vw = vc.num_hidden_layers * (
+        4 * vc.hidden_size * vc.hidden_size
+        + 2 * vc.hidden_size * vc.intermediate_size)
+    vis = b * t * (2 * vw * n
+                   + vc.num_hidden_layers * n * n * vc.hidden_size * 4
+                   + 2 * n * vc.hidden_size * 3 * vc.patch_size ** 2)
+
+    # trainable projector: (num_patches pooled tokens + T CLS) per sample
+    proj = 3 * 2 * vc.hidden_size * tc.hidden_size \
+        * b * (cfg.num_patches + t)
+
+    total = llm + attn + head + vis + proj
+    if recipe == "lora":  # r=16 factors on all 7 targets, trainable
+        lora_p = tc.num_hidden_layers * 16 * (
+            4 * 2 * tc.hidden_size
+            + 2 * (tc.hidden_size + tc.intermediate_size)
+            + (tc.intermediate_size + tc.hidden_size))
+        total += 3 * 2 * lora_p * tok
+    return float(total)
 
 
 def measure(trainer, batch, iters=4):
@@ -89,7 +139,8 @@ def measure(trainer, batch, iters=4):
     return min(ts)
 
 
-def run_recipe(tag, cfg, make_params, tc, batch, t_null, lora=False):
+def run_recipe(tag, cfg, make_params, tc, batch, t_null, flops,
+               lora=False):
     from valley_tpu.train.trainer import Trainer
 
     # fresh params per recipe: the jitted step donates the TrainState, so
@@ -101,14 +152,11 @@ def run_recipe(tag, cfg, make_params, tc, batch, t_null, lora=False):
 
         params = lora_lib.add_lora(params, jax.random.key(1), r=16)
     trainer = Trainer(cfg, tc, params, [batch], total_steps=100)
-    dev = trainer._device_batch(batch)
-    flops = cost_flops(
-        trainer._train_step.lower(trainer.state, dev).compile())
     t = measure(trainer, batch)
     td = max(t - t_null, 1e-9)
     tok = batch["input_ids"].size
     print(f"{tag}: {t*1e3:7.1f} ms raw / {td*1e3:7.1f} ms device  "
-          f"({flops/1e12:.2f} TFLOP, device MFU "
+          f"({flops/1e12:.2f} model TFLOP, device MFU "
           f"{flops/td/PEAK_BF16:.2%}, {tok/td:.0f} tok/s)",
           flush=True)
     del trainer
@@ -119,6 +167,7 @@ def main():
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     s = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     t = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    which = sys.argv[4] if len(sys.argv) > 4 else "all"
 
     from valley_tpu import config as C
     from valley_tpu.models import valley
@@ -155,32 +204,65 @@ def main():
     print(f"B={b} S={s} T={t} {size} bf16  (dispatch floor "
           f"{t_null*1e3:.1f} ms)", flush=True)
 
-    stage1 = TrainConfig(output_dir="/tmp/mfu_s1", freeze_backbone=True,
-                         tune_mm_mlp_adapter=True,
-                         gradient_checkpointing=True)
-    run_recipe("stage1 remat on ", cfg, make_params, stage1, batch,
-               t_null)
+    f_s1 = train_flops(cfg, b, s, t, "s1")
+    f_lora = train_flops(cfg, b, s, t, "lora")
 
-    try:
-        s1_nr = TrainConfig(output_dir="/tmp/mfu_s1nr",
-                            freeze_backbone=True,
-                            tune_mm_mlp_adapter=True,
-                            gradient_checkpointing=False)
-        run_recipe("stage1 remat off", cfg, make_params, s1_nr, batch,
-                   t_null)
-    except Exception as e:  # noqa: BLE001 — expected OOM path
-        print(f"stage1 remat off: failed ({type(e).__name__}: "
-              f"{str(e)[:120]})", flush=True)
+    if which in ("all", "s1"):
+        stage1 = TrainConfig(output_dir="/tmp/mfu_s1",
+                             freeze_backbone=True,
+                             tune_mm_mlp_adapter=True,
+                             gradient_checkpointing=True)
+        run_recipe("stage1 remat on ", cfg, make_params, stage1, batch,
+                   t_null, f_s1)
 
-    try:
-        lora = TrainConfig(output_dir="/tmp/mfu_lora", lora=True,
-                           tune_mm_mlp_adapter=True,
+    if which in ("all", "s1dots"):
+        try:
+            s1_d = TrainConfig(output_dir="/tmp/mfu_s1d",
+                               freeze_backbone=True,
+                               tune_mm_mlp_adapter=True,
+                               gradient_checkpointing="dots")
+            run_recipe("stage1 remat dots", cfg, make_params, s1_d,
+                       batch, t_null, f_s1)
+        except Exception as e:  # noqa: BLE001 — may OOM at large B*S
+            print(f"stage1 remat dots: failed ({type(e).__name__}: "
+                  f"{str(e)[:120]})", flush=True)
+
+    if which in ("all", "s1nr"):
+        try:
+            s1_nr = TrainConfig(output_dir="/tmp/mfu_s1nr",
+                                freeze_backbone=True,
+                                tune_mm_mlp_adapter=True,
+                                gradient_checkpointing=False)
+            run_recipe("stage1 remat off", cfg, make_params, s1_nr,
+                       batch, t_null, f_s1)
+        except Exception as e:  # noqa: BLE001 — expected OOM path
+            print(f"stage1 remat off: failed ({type(e).__name__}: "
+                  f"{str(e)[:120]})", flush=True)
+
+    if which in ("all", "lora"):
+        try:
+            lora = TrainConfig(output_dir="/tmp/mfu_lora", lora=True,
+                               tune_mm_mlp_adapter=True,
+                               gradient_checkpointing=True)
+            run_recipe("stage2 lora r16 ", cfg, make_params, lora,
+                       batch, t_null, f_lora, lora=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"stage2 lora: failed ({type(e).__name__}: "
+                  f"{str(e)[:120]})", flush=True)
+
+    if which == "lorand":   # ablation: adapter GEMMs without dropout RNG
+        lora = TrainConfig(output_dir="/tmp/mfu_lora0", lora=True,
+                           lora_dropout=0.0, tune_mm_mlp_adapter=True,
                            gradient_checkpointing=True)
-        run_recipe("stage2 lora r16 ", cfg, make_params, lora, batch,
-                   t_null, lora=True)
-    except Exception as e:  # noqa: BLE001
-        print(f"stage2 lora: failed ({type(e).__name__}: "
-              f"{str(e)[:120]})", flush=True)
+        run_recipe("stage2 lora nodrop", cfg, make_params, lora,
+                   batch, t_null, f_lora, lora=True)
+
+    if which == "loradots":  # lora + dots remat
+        lora = TrainConfig(output_dir="/tmp/mfu_lorad", lora=True,
+                           tune_mm_mlp_adapter=True,
+                           gradient_checkpointing="dots")
+        run_recipe("stage2 lora dots ", cfg, make_params, lora,
+                   batch, t_null, f_lora, lora=True)
 
 
 if __name__ == "__main__":

@@ -79,6 +79,14 @@ class TrainConfig:
     # peft lora_dropout (reference train.py:156); applied to the adapter
     # branch input during training only
     lora_dropout: float = 0.05
+    # PRNG used for the dropout masks.  "rbg" drives the TPU hardware
+    # bit generator — measured 1.30x faster LoRA steps than threefry at
+    # 7B B2xS512, within 1% of a no-dropout step (the masks are
+    # (tokens, fan_in) per target per layer and regenerate in the remat
+    # backward; see tools/exp_train_mfu.py).  Masks stay deterministic
+    # per (seed, step).  "threefry2x32" keeps jax's default splittable
+    # PRNG.
+    dropout_rng_impl: str = "rbg"
     # "no" | "steps": also drop adapter-only snapshots at save_steps
     # (`LLMCallback` parity, trainner.py:51-120 / lora_save_strategy)
     lora_save_strategy: str = "no"
@@ -319,7 +327,8 @@ class Trainer:
                                   tr, frozen, is_leaf=is_none)
             if self._lora_dropout > 0.0:
                 rng = jax.random.fold_in(
-                    jax.random.key(self.tc.seed), step)
+                    jax.random.key(self.tc.seed,
+                                   impl=self.tc.dropout_rng_impl), step)
                 return self._loss_fn(merged, batch, rng)
             return self._loss_fn(merged, batch)
 
