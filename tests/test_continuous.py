@@ -230,6 +230,52 @@ def test_mixed_bucket_admission_token_identical(engine):
     assert got_short == expect_short, (got_short, expect_short)
 
 
+def test_batched_admission_token_identical(engine):
+    """A burst of compatible requests admits through ONE batched prefill
+    call (pow2 group sizes) and every request's stream stays identical
+    to its solo engine run."""
+    c = ContinuousEngine(engine, rows=6, bucket=64, extra_slots=64,
+                         steps_per_call=2, admit_batch=4)
+    calls = []
+    orig = engine._prefill
+
+    def spy(params, ids, *a, **kw):
+        calls.append(int(ids.shape[0]))
+        return orig(params, ids, *a, **kw)
+
+    engine._prefill = spy
+    try:
+        prompts = [list(range(10 + i, 30 + i)) for i in range(6)]
+        expects = [_solo(engine, p, 5) for p in prompts]
+        calls.clear()
+        queues = [c.submit(p, max_new_tokens=5, eos_id=-1)
+                  for p in prompts]
+        results = [_collect(q) for q in queues]
+    finally:
+        engine._prefill = orig
+    assert results == expects
+    # the burst of 6 must have used at least one multi-row prefill
+    assert max(calls) > 1, calls
+    assert sum(calls) == 6
+    assert all(c in (1, 2, 4) for c in calls), calls
+
+
+def test_batched_admission_respects_incompatible_groups(engine):
+    """Sampled and greedy requests never share a batched prefill (the
+    do_sample executable is static), but both still complete."""
+    c = ContinuousEngine(engine, rows=4, bucket=64, extra_slots=64,
+                         steps_per_call=2, admit_batch=4)
+    greedy = [list(range(10 + i, 30 + i)) for i in range(2)]
+    sampled = [list(range(40 + i, 60 + i)) for i in range(2)]
+    expects = [_solo(engine, p, 4) for p in greedy]
+    qs = [c.submit(p, max_new_tokens=4, eos_id=-1) for p in greedy]
+    qs += [c.submit(p, max_new_tokens=4, eos_id=-1, temperature=0.8)
+           for p in sampled]
+    results = [_collect(q) for q in qs]
+    assert results[:2] == expects          # greedy exact
+    assert all(len(r) == 4 for r in results)
+
+
 def test_prompt_pad_compaction_extends_budget(engine):
     """Decode slots start at len(prompt), so a row supports smax - len new
     tokens — more than the old bucket-aligned budget."""

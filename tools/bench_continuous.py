@@ -49,10 +49,14 @@ def main():
     eng = Engine(cfg, params, buckets=(128, 512), max_new_tokens=128,
                  cache_dtype=jnp.int8, steps_per_call=16,
                  decode_w4=qmode == "int4")
-    cont = ContinuousEngine(eng, rows=rows, bucket=512,
-                            extra_slots=128 + (48 if spec else 0),
-                            steps_per_call=4 if spec else 16,
-                            speculative=spec)
+    cont = ContinuousEngine(
+        eng, rows=rows, bucket=512,
+        extra_slots=128 + (48 if spec else 0),
+        steps_per_call=4 if spec else 16,
+        speculative=spec,
+        admit_batch=int(os.environ.get("VALLEY_POOL_ADMIT", "4")),
+        ready_depth=(int(os.environ["VALLEY_POOL_READY"])
+                     if "VALLEY_POOL_READY" in os.environ else None))
     print("warmup (compiles prefills + pooled decode)...", flush=True)
     cont.warmup()
 

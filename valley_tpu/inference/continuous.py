@@ -23,6 +23,11 @@ Design notes:
   ready row state on a bounded queue; the decode loop only splices ready
   rows in at chunk boundaries, so admission never stalls active rows on
   host-side prefill work;
+* **batched admission**: compatible waiting requests (same admission
+  bucket / media geometry / sampling mode) prefill as ONE batched call
+  (pow2 group sizes up to ``admit_batch``) — a burst pays one prefill
+  dispatch instead of N serial ones, and the park depth scales with the
+  pool so a large pool refills in one chunk boundary;
 * **prompt-pad compaction**: decode writes start at slot ``len(prompt)``
   (not at the prefill bucket), so prompt padding slots are reused by
   generated tokens and a row supports ``smax - len`` new tokens.
@@ -72,7 +77,9 @@ class ContinuousEngine:
                  decode_ramp: Optional[Any] = None,
                  seed: int = 0,
                  speculative: bool = False,
-                 spec: Optional["SpecConfig"] = None):
+                 spec: Optional["SpecConfig"] = None,
+                 admit_batch: int = 4,
+                 ready_depth: Optional[int] = None):
         self.engine = engine
         self.rows = rows
         self.bucket = bucket or engine.buckets[-1]
@@ -128,10 +135,24 @@ class ContinuousEngine:
             self._admission_buckets = self._admission_buckets + (
                 self.bucket,)
 
+        # Batched admission: compatible waiting requests (same admission
+        # bucket / media geometry / sampling mode) prefill as ONE batched
+        # call — a burst of B requests pays ~1 prefill dispatch and a
+        # higher-MXU-utilization executable instead of B serial ones.
+        # Group sizes are powers of two so the executable set stays
+        # bounded (warmup compiles each size).
+        self.admit_batch = max(1, int(admit_batch))
+        self._admit_sizes = tuple(
+            1 << i for i in range(self.admit_batch.bit_length())
+            if (1 << i) <= self.admit_batch)
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         # bounded: each parked item holds a full prefilled row cache on
-        # device, so cap how many can pile up ahead of free rows
-        self._ready: "queue.Queue[tuple]" = queue.Queue(maxsize=2)
+        # device, so cap how many can pile up ahead of free rows (deep
+        # enough to refill a large pool in one chunk boundary, shallow
+        # enough to bound parked-KV memory)
+        if ready_depth is None:
+            ready_depth = min(8, max(2, rows))
+        self._ready: "queue.Queue[tuple]" = queue.Queue(maxsize=ready_depth)
         self._wake = threading.Event()
         self._prefill_thread = threading.Thread(target=self._prefill_loop,
                                                 daemon=True)
@@ -200,14 +221,25 @@ class ContinuousEngine:
         return toks, cache, valid, token, slot, seq
 
     def _insert_impl(self, cache, valid, token, slot, seq, row_cache,
-                     row_valid, row_tok, row_len, b):
-        # copy the prefilled single-row cache (values + any int8 scales)
-        # into pool row b
-        cache = jax.tree.map(
-            lambda c, rc: jax.lax.dynamic_update_slice(
-                c, rc, (0, b) + (0,) * (c.ndim - 2)), cache, row_cache)
-        valid = jax.lax.dynamic_update_slice(valid, row_valid, (b, 0))
-        token = jax.lax.dynamic_update_slice(token, row_tok[None], (b,))
+                     row_valid, row_tok, row_len, src, b):
+        # copy row ``src`` of a prefilled batch cache (values + any int8
+        # scales) into pool row ``b``.  Batched admissions park the WHOLE
+        # batch result and insert straight from it — no intermediate
+        # per-row copy (each would move a full row cache through HBM and
+        # pay a dispatch on the way)
+        def put(c, rc):
+            row = jax.lax.dynamic_slice_in_dim(rc, src, 1, axis=1)
+            return jax.lax.dynamic_update_slice(
+                c, row, (0, b) + (0,) * (c.ndim - 2))
+
+        cache = jax.tree.map(put, cache, row_cache)
+        row_valid = row_valid.astype(valid.dtype)
+        valid = jax.lax.dynamic_update_slice(
+            valid, jax.lax.dynamic_slice_in_dim(row_valid, src, 1, axis=0),
+            (b, 0))
+        token = jax.lax.dynamic_update_slice(
+            token, jax.lax.dynamic_slice_in_dim(row_tok, src, 1, axis=0),
+            (b,))
         # decode writes start right after the prompt (NOT at the prefill
         # bucket): prompt-pad slots get reused by generated tokens
         slot = jax.lax.dynamic_update_slice(slot, row_len[None], (b,))
@@ -281,12 +313,14 @@ class ContinuousEngine:
         return (toks, counts, cache, valid, token, slot, seq, hist,
                 hist_len)
 
-    def _insert_hist_impl(self, hist, hist_len, row_hist, row_tok,
+    def _insert_hist_impl(self, hist, hist_len, row_hist, tok, src,
                           row_len, b):
         """Seed pool row ``b``'s lookup history: prompt + the
-        prefill-sampled first token."""
+        prefill-sampled first token (row ``src`` of the admission
+        batch's tokens)."""
+        row_tok = jax.lax.dynamic_slice_in_dim(tok, src, 1, axis=0)
         row_hist = jax.lax.dynamic_update_slice(
-            row_hist, row_tok[None], (row_len,))
+            row_hist, row_tok, (row_len,))
         hist = jax.lax.dynamic_update_slice(hist, row_hist[None], (b, 0))
         hist_len = jax.lax.dynamic_update_slice(
             hist_len, (row_len + 1)[None], (b,))
@@ -316,14 +350,33 @@ class ContinuousEngine:
     drain = staticmethod(lambda outq: _drain(outq))
 
     def warmup(self, frames: int = 0) -> None:
-        """Compile every admission-bucket prefill + every pooled decode
-        chunk size (each ramp entry and the steady-state ``steps`` are
-        distinct ``n_steps`` executables)."""
+        """Compile every admission-bucket prefill (at every batched
+        admission size) + every pooled decode chunk size (each ramp entry
+        and the steady-state ``steps`` are distinct ``n_steps``
+        executables)."""
         images = None
         if frames:
             v = self.engine.cfg.vision
             images = np.zeros((1, frames, 3, v.image_size, v.image_size),
                               np.float32)
+        # batched admission executables, compiled deterministically
+        # (grouping via the queue depends on arrival timing): run each
+        # (bucket, size) group through prefill AND pool insertion — the
+        # multi-row _insert executable is per batch size and a cold
+        # compile mid-traffic would stall the decode loop
+        for bucket in self._admission_buckets:
+            for size in self._admit_sizes:
+                if size == 1:
+                    continue   # covered by the submits below
+                group = [_Request(list(range(2, 2 + bucket)), images,
+                                  0.0, 1.0, 1, -1) for _ in range(size)]
+                items = self._prefill_group(group)
+                for item in items:
+                    self._ready.put(item)   # decode loop admits + frees
+                    self._wake.set()
+                for r in group:
+                    for _ in _drain(r.out):
+                        pass
         new = 1 + sum(self.ramp) + self.steps
         # a length-b prompt lands exactly in admission bucket b
         queues = [self.submit(list(range(2, 2 + b)), images=images,
@@ -335,18 +388,60 @@ class ContinuousEngine:
 
     # -- prefill worker (admission never blocks the decode loop) ----------
 
+    def _admit_key(self, req: _Request):
+        """Requests sharing this key can prefill as one batched call
+        (same prefill executable: admission bucket, media geometry,
+        sampling mode)."""
+        n = len(req.input_ids)
+        bucket = next((b for b in self._admission_buckets if n <= b),
+                      None)
+        frames = None
+        if req.images is not None:
+            shape = np.asarray(req.images).shape
+            frames = shape[1] if len(shape) >= 2 else None
+        return (bucket, frames, req.temperature >= 1e-4)
+
     def _prefill_loop(self):
+        pending: List[_Request] = []
         while True:
-            req = self._queue.get()
+            if not pending:
+                pending.append(self._queue.get())
+            # opportunistically grab whatever else is already waiting so
+            # a burst admits as batched prefills
+            while len(pending) < 4 * self.admit_batch:
+                try:
+                    pending.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
+            head = pending.pop(0)
+            group = [head]
+            if head.prefix is None and self.admit_batch > 1:
+                key0 = self._admit_key(head)
+                i = 0
+                while i < len(pending) and len(group) < self.admit_batch:
+                    r = pending[i]
+                    if r.prefix is None and self._admit_key(r) == key0:
+                        group.append(pending.pop(i))
+                    else:
+                        i += 1
+                # pow2 group sizes only (bounded executable set); the
+                # overflow returns to the queue front in order
+                size = max(s for s in self._admit_sizes
+                           if s <= len(group))
+                pending[:0] = group[size:]
+                group = group[:size]
             try:
-                item = self._prefill_one(req)
+                items = (self._prefill_group(group) if len(group) > 1
+                         else [self._prefill_one(group[0])])
             except Exception as e:  # noqa: BLE001 — deliver, don't die
-                logger.exception("prefill failed for request")
-                req.out.put(e)
-                req.out.put(_DONE)
+                logger.exception("prefill failed for request(s)")
+                for r in group:
+                    r.out.put(e)
+                    r.out.put(_DONE)
                 continue
-            self._ready.put(item)   # blocks when 2 rows already parked
-            self._wake.set()
+            for item in items:
+                self._ready.put(item)  # blocks when the park is full
+                self._wake.set()
 
     def _prefill_from_prefix(self, req: _Request):
         """Admission via a PrefixCache: pad the cached (system prompt +
@@ -395,7 +490,57 @@ class ContinuousEngine:
         if self._spec is not None:
             row_hist = np.zeros((self.hist_max,), np.int32)
             row_hist[:len(ids_full)] = ids_full
-        return req, tok, cache, valid, n, row_hist
+        return req, tok, cache, valid, n, row_hist, 0
+
+    def _prefill_group(self, group: List[_Request]):
+        """One batched prefill call for ``len(group)`` compatible
+        requests; returns one ready item per request (each row sliced
+        out of the batch, shaped exactly like a `_prefill_one` result).
+        Greedy output is identical to per-request prefills (the model
+        rows are independent); sampled requests draw from the same
+        per-call key they would get anyway."""
+        eng = self.engine
+        b = len(group)
+        lens = np.asarray([len(r.input_ids) for r in group], np.int32)
+        n_max = int(lens.max())
+        if n_max > self.bucket:
+            raise ValueError(
+                f"prompt of {n_max} tokens exceeds the "
+                f"{self.bucket}-token admission bucket")
+        if n_max >= self.smax:
+            raise ValueError(
+                f"prompt of {n_max} tokens leaves no decode slots "
+                f"(pool smax={self.smax})")
+        bucket = next(bk for bk in self._admission_buckets
+                      if n_max <= bk)
+        ids = np.zeros((b, bucket), np.int32)
+        for i, r in enumerate(group):
+            ids[i, :lens[i]] = r.input_ids
+        images = None
+        if group[0].images is not None:
+            images = np.concatenate(
+                [np.asarray(r.images, np.float32) for r in group], axis=0)
+        images, frame_mask, has_images = eng._prepare_images(images, b)
+        temps = np.asarray([r.temperature for r in group], np.float32)
+        top_ps = np.asarray([r.top_p for r in group], np.float32)
+        with self._key_lock:
+            self._key, sub = jax.random.split(self._key)
+        tok, _lg, cache, valid = eng._prefill(
+            eng.params, jnp.asarray(ids), images, jnp.asarray(lens),
+            sub, jnp.asarray(temps), jnp.asarray(top_ps), frame_mask,
+            bucket=bucket, cache_len=self.smax,
+            do_sample=bool(temps[0] >= 1e-4), has_images=has_images)
+        # park the WHOLE batch result; each item inserts its own row
+        # straight from it (src index) — no per-row copies or dispatches
+        items = []
+        for i, r in enumerate(group):
+            row_hist = None
+            if self._spec is not None:
+                row_hist = np.zeros((self.hist_max,), np.int32)
+                row_hist[:lens[i]] = r.input_ids
+            items.append((r, tok, cache, valid, int(lens[i]), row_hist,
+                          i))
+        return items
 
     def _prefill_one(self, req: _Request):
         if req.prefix is not None:
@@ -428,7 +573,7 @@ class ContinuousEngine:
         if self._spec is not None:
             row_hist = np.zeros((self.hist_max,), np.int32)
             row_hist[:n] = req.input_ids
-        return req, tok, row_cache, row_valid, n, row_hist
+        return req, tok, row_cache, row_valid, n, row_hist, 0
 
     # -- scheduler loop ----------------------------------------------------
 
@@ -454,17 +599,22 @@ class ContinuousEngine:
         return best
 
     def _admit(self):
+        # Phase 1: dispatch every insert (async) so the device work for
+        # k admissions pipelines; phase 2: transfer the first tokens and
+        # emit.  A per-row sync between inserts would pay the ~25 ms
+        # dispatch round trip k times at every chunk boundary.
+        admitted = []
         for b in range(self.rows):
             if self._active[b] is not None:
                 continue
             try:
                 (req, tok, row_cache, row_valid, n,
-                 row_hist) = self._ready.get_nowait()
+                 row_hist, src) = self._ready.get_nowait()
             except queue.Empty:
-                return
+                break
             try:
                 self._insert_row(req, tok, row_cache, row_valid, n,
-                                 row_hist, b)
+                                 row_hist, src, b)
             except Exception as e:  # noqa: BLE001 — deliver, don't die
                 logger.exception("row insert failed")
                 req.out.put(e)
@@ -478,14 +628,20 @@ class ContinuousEngine:
                         self._active[r] = None
                 self._reset_pool()
                 return
+            admitted.append((b, req, tok, src))
+        for b, req, tok, src in admitted:
+            t = int(np.asarray(tok)[src])
+            req.out.put(t)
+            req.emitted = 1
+            self._finish_if_done(b, t)
 
     def _insert_row(self, req, tok, row_cache, row_valid, n, row_hist,
-                    b: int):
+                    src: int, b: int):
         (self._cache, self._valid, self._token, self._slot,
          self._seq) = self._insert(
             self._cache, self._valid, self._token, self._slot,
-            self._seq, row_cache, row_valid.astype(bool), tok[0],
-            jnp.asarray(np.int32(n)), jnp.int32(b))
+            self._seq, row_cache, row_valid, tok,
+            jnp.asarray(np.int32(n)), jnp.int32(src), jnp.int32(b))
         self._active[b] = req
         self._temps[b] = req.temperature
         self._top_ps[b] = req.top_p
@@ -501,11 +657,11 @@ class ContinuousEngine:
                 self.smax - n - (self._spec.draft_len + 1))
             self._hist, self._hist_len = self._insert_hist(
                 self._hist, self._hist_len, jnp.asarray(row_hist),
-                tok[0], jnp.asarray(np.int32(n)), jnp.int32(b))
-        # the prefill-sampled token is the first output token
-        req.out.put(int(np.asarray(tok)[0]))
-        req.emitted = 1
-        self._finish_if_done(b, int(np.asarray(tok)[0]))
+                tok, jnp.int32(src), jnp.asarray(np.int32(n)),
+                jnp.int32(b))
+        # the prefill-sampled token is the first output token; the
+        # caller (_admit) transfers and emits it after ALL inserts of
+        # this boundary have dispatched
 
     def _finish_if_done(self, b: int, tok: int):
         req = self._active[b]
