@@ -57,15 +57,29 @@ def main():
         admit_batch=int(os.environ.get("VALLEY_POOL_ADMIT", "4")),
         ready_depth=(int(os.environ["VALLEY_POOL_READY"])
                      if "VALLEY_POOL_READY" in os.environ else None))
+    # VALLEY_BENCH_MEDIA=T: every request carries a T-frame video (the
+    # realistic Valley admission mix — prefill then includes the CLIP
+    # tower, where batched admission amortizes the small-batch tower)
+    frames = int(os.environ.get("VALLEY_BENCH_MEDIA", "0"))
     print("warmup (compiles prefills + pooled decode)...", flush=True)
-    cont.warmup()
+    cont.warmup(frames=frames)
 
     rng = np.random.default_rng(0)
-    prompts = []
+    tok = cfg.tokens
+    span = []
+    if frames:
+        span = [tok.im_start] + [tok.im_patch] * cfg.num_patches + \
+            [tok.im_end] + [tok.vi_start] + [tok.vi_frame] * frames + \
+            [tok.vi_end]
+    prompts, media = [], []
     for i in range(n_req):
-        n = int(rng.integers(40, 100)) if i % 2 == 0 else \
-            int(rng.integers(300, 480))
-        prompts.append(rng.integers(5, 30000, size=n).tolist())
+        hi = 100 if i % 2 == 0 else 200
+        n = int(rng.integers(40, hi))
+        prompts.append([1] + span +
+                       rng.integers(5, 30000, size=n).tolist())
+        media.append(rng.standard_normal(
+            (1, frames, 3, cfg.vision.image_size, cfg.vision.image_size)
+        ).astype(np.float32) if frames else None)
     new_tokens = 96
 
     counts = {}
@@ -77,7 +91,8 @@ def main():
     t0 = time.perf_counter()
     threads = []
     for i, p in enumerate(prompts):
-        outq = cont.submit(p, max_new_tokens=new_tokens, eos_id=-1)
+        outq = cont.submit(p, images=media[i],
+                           max_new_tokens=new_tokens, eos_id=-1)
         th = threading.Thread(target=consume, args=(i, outq))
         th.start()
         threads.append(th)
@@ -85,7 +100,9 @@ def main():
         th.join(timeout=600)
     dt = time.perf_counter() - t0
     total = sum(counts.values())
-    print(f"rows={rows} requests={n_req} mixed prompts 40-480, "
+    mix = (f"{frames}-frame video prompts" if frames
+           else "mixed prompts 40-480")
+    print(f"rows={rows} requests={n_req} {mix}, "
           f"{new_tokens} new tokens each")
     print(f"total {total} tokens in {dt:.1f} s -> "
           f"{total/dt:.1f} tok/s aggregate")
