@@ -149,6 +149,31 @@ def test_lora_dropout_deterministic_and_train_only(cfg, params):
     assert off == base            # rate 0 == no dropout
 
 
+def test_lora_dropout_rbg_impl_deterministic(cfg, params):
+    """The trainer's default dropout PRNG ("rbg", the TPU hardware bit
+    generator) produces masks deterministic per key within a process and
+    distinct across keys — the property the per-step fold_in relies on."""
+    p = lora_lib.add_lora(params, jax.random.key(1), r=4,
+                          dtype=jnp.float32)
+    layers = dict(p["llama"]["layers"])
+    for k in list(layers):
+        if k.endswith("_lora_b"):   # B inits to 0 -> make dropout visible
+            layers[k] = jnp.ones_like(layers[k]) * 0.01
+    p["llama"] = dict(p["llama"], layers=layers)
+    ids = jnp.asarray(np.random.default_rng(2).integers(5, 400, (1, 16)))
+    batch = {"input_ids": ids, "labels": jnp.where(ids > 4, ids, -100)}
+
+    def loss(seed):
+        rng = jax.random.fold_in(jax.random.key(seed, impl="rbg"), 3)
+        return float(valley.loss_fn(p, cfg, batch, remat=False,
+                                    lora_rng=rng, lora_dropout=0.5))
+
+    base = float(valley.loss_fn(p, cfg, batch, remat=False))
+    assert loss(7) == loss(7)       # deterministic per (seed, step)
+    assert loss(7) != loss(8)       # keys decorrelate
+    assert loss(7) != base          # dropout actually applied
+
+
 @pytest.mark.parametrize("policy", [True, "dots"])
 def test_remat_policies_match_no_remat_grads(cfg, params, policy):
     """Both checkpoint policies are numerics-preserving: loss and grads

@@ -73,8 +73,11 @@ def main():
             [tok.vi_end]
     prompts, media = [], []
     for i in range(n_req):
-        hi = 100 if i % 2 == 0 else 200
-        n = int(rng.integers(40, hi))
+        if frames:     # media span (~270 tok) + short question
+            n = int(rng.integers(40, 100 if i % 2 == 0 else 200))
+        else:          # the round-1/2 text mix, unchanged for comparability
+            n = int(rng.integers(40, 100)) if i % 2 == 0 else \
+                int(rng.integers(300, 480))
         prompts.append([1] + span +
                        rng.integers(5, 30000, size=n).tolist())
         media.append(rng.standard_normal(

@@ -24,8 +24,15 @@ per-dispatch floor (~25 ms on this fabric).
 Usage: PYTHONPATH=/root/repo:/root/.axon_site \
     python tools/exp_train_mfu.py [batch] [seqlen] [frames] [recipe]
 
-recipe in {all, s1, s1nr, lora} — run one per process on the real chip
-(a prior recipe's 14 GB param tree fragments the 16 GB HBM).
+recipe — run ONE per process on the real chip (a prior recipe's 14 GB
+param tree fragments the 16 GB HBM):
+  all      s1 + s1dots + s1nr + lora in sequence (tiny/CPU smoke only)
+  s1       stage-1 (frozen backbone, projector-only), full remat
+  s1dots   stage-1 with gradient_checkpointing="dots"
+  s1nr     stage-1, remat off (expected compile-OOM at 7B B2xS512)
+  lora     stage-2 LoRA r16 with dropout (TrainConfig default rng impl)
+  lorand   stage-2 LoRA, dropout 0.0 (isolates the mask-RNG cost)
+  loradots stage-2 LoRA with gradient_checkpointing="dots"
 """
 
 from __future__ import annotations

@@ -146,13 +146,18 @@ class ContinuousEngine:
             1 << i for i in range(self.admit_batch.bit_length())
             if (1 << i) <= self.admit_batch)
         self._queue: "queue.Queue[_Request]" = queue.Queue()
-        # bounded: each parked item holds a full prefilled row cache on
-        # device, so cap how many can pile up ahead of free rows (deep
-        # enough to refill a large pool in one chunk boundary, shallow
-        # enough to bound parked-KV memory)
+        # bounded parked-KV: each ready item references one row of a
+        # prefilled cache on device, so cap how many ROWS can pile up
+        # ahead of free rows (deep enough to refill a large pool in one
+        # chunk boundary — measured +14% aggregate at 16 rows vs the old
+        # depth-2 park — shallow enough to bound parked HBM; a partially
+        # consumed batch keeps its whole batch cache alive, so worst
+        # case is ready_depth + admit_batch - 1 rows)
         if ready_depth is None:
             ready_depth = min(8, max(2, rows))
-        self._ready: "queue.Queue[tuple]" = queue.Queue(maxsize=ready_depth)
+        self.ready_depth = ready_depth
+        self._ready_budget = threading.Semaphore(ready_depth)
+        self._ready: "queue.Queue[tuple]" = queue.Queue()
         self._wake = threading.Event()
         self._prefill_thread = threading.Thread(target=self._prefill_loop,
                                                 daemon=True)
@@ -351,9 +356,10 @@ class ContinuousEngine:
 
     def warmup(self, frames: int = 0) -> None:
         """Compile every admission-bucket prefill (at every batched
-        admission size) + every pooled decode chunk size (each ramp entry
-        and the steady-state ``steps`` are distinct ``n_steps``
-        executables)."""
+        admission size, greedy AND sampled — ``do_sample`` is a static
+        executable class and serving traffic defaults to temperature > 0)
+        + every pooled decode chunk size (each ramp entry and the
+        steady-state ``steps`` are distinct ``n_steps`` executables)."""
         images = None
         if frames:
             v = self.engine.cfg.vision
@@ -368,20 +374,26 @@ class ContinuousEngine:
             for size in self._admit_sizes:
                 if size == 1:
                     continue   # covered by the submits below
-                group = [_Request(list(range(2, 2 + bucket)), images,
-                                  0.0, 1.0, 1, -1) for _ in range(size)]
-                items = self._prefill_group(group)
-                for item in items:
-                    self._ready.put(item)   # decode loop admits + frees
-                    self._wake.set()
-                for r in group:
-                    for _ in _drain(r.out):
-                        pass
+                for temp in (0.0, 0.7):
+                    group = [_Request(list(range(2, 2 + bucket)), images,
+                                      temp, 1.0, 1, -1)
+                             for _ in range(size)]
+                    items = self._prefill_group(group)
+                    for item in items:
+                        self._ready_budget.acquire()
+                        self._ready.put(item)  # decode loop admits+frees
+                        self._wake.set()
+                    for r in group:
+                        for _ in _drain(r.out):
+                            pass
         new = 1 + sum(self.ramp) + self.steps
-        # a length-b prompt lands exactly in admission bucket b
+        # a length-b prompt lands exactly in admission bucket b; warm the
+        # single-admission prefill in both sampling modes
         queues = [self.submit(list(range(2, 2 + b)), images=images,
-                              max_new_tokens=new, eos_id=-1)
-                  for b in self._admission_buckets]
+                              max_new_tokens=new, eos_id=-1,
+                              temperature=temp)
+                  for b in self._admission_buckets
+                  for temp in (0.0, 0.7)]
         for outq in queues:
             for _ in _drain(outq):
                 pass
@@ -440,7 +452,8 @@ class ContinuousEngine:
                     r.out.put(_DONE)
                 continue
             for item in items:
-                self._ready.put(item)  # blocks when the park is full
+                self._ready_budget.acquire()  # blocks when park is full
+                self._ready.put(item)
                 self._wake.set()
 
     def _prefill_from_prefix(self, req: _Request):
@@ -612,6 +625,7 @@ class ContinuousEngine:
                  row_hist, src) = self._ready.get_nowait()
             except queue.Empty:
                 break
+            self._ready_budget.release()
             try:
                 self._insert_row(req, tok, row_cache, row_valid, n,
                                  row_hist, src, b)

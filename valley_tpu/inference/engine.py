@@ -325,19 +325,24 @@ class Engine:
 
     def warmup(self, batch_sizes: Sequence[int] = (1,),
                frames: Optional[int] = None,
-               with_images: bool = True) -> None:
+               with_images: bool = True,
+               sampled: bool = True) -> None:
         """Pre-compile every (bucket, batch) executable so the first real
         request hits a warm cache (the reference pays its compile/alloc
         cost on the first request too, but here a cold compile is tens of
         seconds — serve workers call this at startup)."""
         # run the whole decode schedule (every ramp size + one steady
         # call) so each distinct n_steps executable compiles here, not on
-        # the first request
-        gen = GenerationConfig(
-            max_new_tokens=min(
-                1 + sum(self.decode_ramp) + self.steps_per_call,
-                self.max_new_tokens),
-            do_sample=False)
+        # the first request.  ``do_sample`` is a STATIC executable class
+        # and serving traffic defaults to temperature > 0 (worker default
+        # 1.0; reference UI 0.7) — warm BOTH modes or the first sampled
+        # request stalls on a cold compile despite --warmup.
+        new = min(1 + sum(self.decode_ramp) + self.steps_per_call,
+                  self.max_new_tokens)
+        gens = [GenerationConfig(max_new_tokens=new, do_sample=False)]
+        if sampled:
+            gens.append(GenerationConfig(max_new_tokens=new,
+                                         do_sample=True, temperature=0.7))
         # with frame bucketing, warm EVERY frame bucket (mixed image/video
         # traffic then never hits a cold prefill executable).  Text-only
         # requests compile a separate (has_images=False) prefill — warm
@@ -355,9 +360,10 @@ class Engine:
                                            v.image_size), np.float32)
                                  for t in frame_counts] + [None])
                 for images in media_passes:
-                    for _ in self.generate_tokens(prompt, images, gen,
-                                                  eos_ids=[-1]):
-                        pass
+                    for gen in gens:
+                        for _ in self.generate_tokens(prompt, images, gen,
+                                                      eos_ids=[-1]):
+                            pass
 
     def _prepare_images(self, images, batch: int):
         """Host media -> (device bf16 images, frame_mask | None,

@@ -171,7 +171,12 @@ class ModelWorker:
         tok = eng.cfg.tokens
         p = eng.cfg.num_patches
         v = eng.cfg.vision
-        gen = GenerationConfig(max_new_tokens=2, do_sample=False)
+        # warm BOTH sampling modes: do_sample is a static executable
+        # class on the extend/decode jits and real traffic defaults to
+        # temperature > 0 (worker default 1.0)
+        gens = (GenerationConfig(max_new_tokens=2, do_sample=False),
+                GenerationConfig(max_new_tokens=2, do_sample=True,
+                                 temperature=0.7))
         if self.prefix_cache_size > 0:
             for t in (eng.frame_buckets or (self.num_frames,)):
                 span = ([tok.im_start] + [tok.im_patch] * p
@@ -180,13 +185,17 @@ class ModelWorker:
                 images = np.zeros((1, t, 3, v.image_size, v.image_size),
                                   np.float32)
                 pc = PrefixCache(eng, [1] + span, images)
-                sess = pc.spawn(gen=gen, speculative=self._speculative)
-                sess.chat([5, 6], tokenizer=self.tokenizer, eos_ids=[-1])
+                for gen in gens:
+                    sess = pc.spawn(gen=gen,
+                                    speculative=self._speculative)
+                    sess.chat([5, 6], tokenizer=self.tokenizer,
+                              eos_ids=[-1])
                 logger.info("warmed prefix path (%d frames)", t)
         if self.max_sessions > 0:
-            sess = ChatSession(eng, gen, extra_slots=512)
-            sess.chat([5, 6], tokenizer=self.tokenizer, eos_ids=[-1])
-            sess.chat([7, 8], tokenizer=self.tokenizer, eos_ids=[-1])
+            for gen in gens:
+                sess = ChatSession(eng, gen, extra_slots=512)
+                sess.chat([5, 6], tokenizer=self.tokenizer, eos_ids=[-1])
+                sess.chat([7, 8], tokenizer=self.tokenizer, eos_ids=[-1])
             logger.info("warmed session path")
 
     def _count(self, tokens: int = 0, requests: int = 0) -> None:

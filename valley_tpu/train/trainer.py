@@ -83,9 +83,12 @@ class TrainConfig:
     # bit generator — measured 1.30x faster LoRA steps than threefry at
     # 7B B2xS512, within 1% of a no-dropout step (the masks are
     # (tokens, fan_in) per target per layer and regenerate in the remat
-    # backward; see tools/exp_train_mfu.py).  Masks stay deterministic
-    # per (seed, step).  "threefry2x32" keeps jax's default splittable
-    # PRNG.
+    # backward; see tools/exp_train_mfu.py).  Masks are deterministic
+    # per (seed, step) WITHIN a fixed jax/XLA build, backend, and mesh —
+    # rbg bits are not guaranteed stable across toolchain upgrades or
+    # topology changes; set "threefry2x32" (jax's default splittable
+    # PRNG, bit-stable everywhere) when resuming a run must reproduce
+    # masks exactly across environments.
     dropout_rng_impl: str = "rbg"
     # "no" | "steps": also drop adapter-only snapshots at save_steps
     # (`LLMCallback` parity, trainner.py:51-120 / lora_save_strategy)
