@@ -103,7 +103,7 @@ def main():
         assert warm and warm[-1]["error_code"] == 0, warm[-1]
         print(f"warm {i}: {len(warm)} chunks", flush=True)
 
-    for attempt in range(3):
+    for attempt in range(5):
         t0 = time.perf_counter()
         t_first, n_chunks, final = None, 0, ""
         for c in stream_chunks(f"{ctrl_url}/worker_generate_stream", req,
@@ -113,12 +113,14 @@ def main():
             n_chunks += 1
             final = c["text"]
         total = time.perf_counter() - t0
-        if c["error_code"] == 0:
+        reply = final[len(req["prompt"]):] if c["error_code"] == 0 else ""
+        if c["error_code"] == 0 and reply:
             break
-        # transient proxy timeout (see round-2 notes): retry on warm paths
+        # transient proxy timeout (round-2 notes) or the sampled stream
+        # drawing the "###" stop in its first tokens (constant perf
+        # weights -> near-uniform logits): retry on warm paths
         print(f"proxied attempt {attempt}: {c}", flush=True)
     assert c["error_code"] == 0, c
-    reply = final[len(req["prompt"]):]
     # chunks stream every stream_interval=2 tokens
     n_tok = max(2 * (n_chunks - 1), 1)
     assert len(reply) > 0, "empty reply"
