@@ -211,15 +211,20 @@ def test_warmup_covers_frame_buckets(cfg, params):
                  steps_per_call=2, frame_buckets=(2, 4))
     eng.warmup()
     n = eng._prefill._cache_size()
-    assert n == 3   # one per frame bucket + the text-only prefill
-    # any frame count <= max bucket now reuses a warmed executable
+    # (frame buckets + text-only) x (greedy, sampled) — do_sample is a
+    # static executable class and real traffic defaults to sampling
+    assert n == 6
+    # any frame count <= max bucket now reuses a warmed executable, in
+    # either sampling mode
     tok = cfg.tokens
     span = [tok.im_start] + [tok.im_patch] * cfg.num_patches + \
         [tok.im_end] + [tok.vi_start] + [tok.vi_frame] * 3 + [tok.vi_end]
     imgs = np.zeros((1, 3, 3, cfg.vision.image_size,
                      cfg.vision.image_size), np.float32)
-    gen = GenerationConfig(max_new_tokens=2, do_sample=False)
-    list(eng.generate_tokens([[1] + span], imgs, gen, eos_ids=[-1]))
+    for do_sample in (False, True):
+        gen = GenerationConfig(max_new_tokens=2, do_sample=do_sample,
+                               temperature=0.7 if do_sample else 0.0)
+        list(eng.generate_tokens([[1] + span], imgs, gen, eos_ids=[-1]))
     assert eng._prefill._cache_size() == n
 
 
