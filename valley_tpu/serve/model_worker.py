@@ -53,7 +53,8 @@ class ModelWorker:
                  max_sessions: int = 0,
                  speculative: bool = False,
                  frame_mode: str = "fixed",
-                 prefix_cache: int = 0):
+                 prefix_cache: int = 0,
+                 admit_batch: int = 4):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = str(uuid.uuid4())[:6]
@@ -81,7 +82,8 @@ class ModelWorker:
             from valley_tpu.inference.continuous import ContinuousEngine
 
             self.continuous = ContinuousEngine(engine, rows=max_batch,
-                                               speculative=speculative)
+                                               speculative=speculative,
+                                               admit_batch=admit_batch)
         # session-id mode: multi-turn KV reuse behind the UNCHANGED wire
         # protocol (client still sends the full conversation; the worker
         # prefix-matches tokens and extends the session with the delta)
@@ -775,6 +777,11 @@ def main():
                              "iteration-level continuous batching over "
                              "--max-batch rows; 0 disables")
     parser.add_argument("--max-batch", type=int, default=4)
+    parser.add_argument("--admit-batch", type=int, default=4,
+                        help="continuous batching: prefill up to N "
+                             "compatible waiting requests as one "
+                             "batched admission call (pow2 groups; "
+                             "1 disables)")
     parser.add_argument("--prefix-cache", type=int, default=0,
                         help="keep the prefilled KV of up to N "
                              "(media + system prompt) prefixes; repeat "
@@ -813,7 +820,8 @@ def main():
                          max_sessions=args.max_sessions,
                          speculative=args.speculative,
                          frame_mode=args.frame_mode,
-                         prefix_cache=args.prefix_cache)
+                         prefix_cache=args.prefix_cache,
+                         admit_batch=args.admit_batch)
     if args.warmup and worker.continuous is not None:
         worker.continuous.warmup(frames=args.num_frames)
         logger.info("continuous-batching warmup done")
