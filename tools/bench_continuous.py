@@ -83,7 +83,9 @@ def main():
         media.append(rng.standard_normal(
             (1, frames, 3, cfg.vision.image_size, cfg.vision.image_size)
         ).astype(np.float32) if frames else None)
-    new_tokens = 96
+    # VALLEY_BENCH_NEW: reply length (raise with n_req == rows for a
+    # pure steady-state pooled-decode number — no admission churn)
+    new_tokens = int(os.environ.get("VALLEY_BENCH_NEW", "96"))
 
     counts = {}
 

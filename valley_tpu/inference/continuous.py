@@ -643,8 +643,13 @@ class ContinuousEngine:
                 self._reset_pool()
                 return
             admitted.append((b, req, tok, src))
-        for b, req, tok, src in admitted:
-            t = int(np.asarray(tok)[src])
+        if not admitted:
+            return
+        # one transfer for ALL admitted first-tokens (a per-row
+        # np.asarray would pay the ~25 ms device round trip k times)
+        toks_np = jax.device_get([tok for _, _, tok, _ in admitted])
+        for (b, req, _, src), tnp in zip(admitted, toks_np):
+            t = int(tnp[src])
             req.out.put(t)
             req.emitted = 1
             self._finish_if_done(b, t)
