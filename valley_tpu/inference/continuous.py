@@ -155,9 +155,10 @@ class ContinuousEngine:
         # case is ready_depth + admit_batch - 1 rows)
         if ready_depth is None:
             ready_depth = min(8, max(2, rows))
+        if ready_depth < 1:
+            raise ValueError("ready_depth must be >= 1")
         self.ready_depth = ready_depth
-        self._ready_budget = threading.Semaphore(ready_depth)
-        self._ready: "queue.Queue[tuple]" = queue.Queue()
+        self._ready: "queue.Queue[tuple]" = queue.Queue(maxsize=ready_depth)
         self._wake = threading.Event()
         self._prefill_thread = threading.Thread(target=self._prefill_loop,
                                                 daemon=True)
@@ -380,7 +381,6 @@ class ContinuousEngine:
                              for _ in range(size)]
                     items = self._prefill_group(group)
                     for item in items:
-                        self._ready_budget.acquire()
                         self._ready.put(item)  # decode loop admits+frees
                         self._wake.set()
                     for r in group:
@@ -452,8 +452,7 @@ class ContinuousEngine:
                     r.out.put(_DONE)
                 continue
             for item in items:
-                self._ready_budget.acquire()  # blocks when park is full
-                self._ready.put(item)
+                self._ready.put(item)   # blocks when the park is full
                 self._wake.set()
 
     def _prefill_from_prefix(self, req: _Request):
@@ -625,7 +624,6 @@ class ContinuousEngine:
                  row_hist, src) = self._ready.get_nowait()
             except queue.Empty:
                 break
-            self._ready_budget.release()
             try:
                 self._insert_row(req, tok, row_cache, row_valid, n,
                                  row_hist, src, b)
