@@ -323,3 +323,52 @@ def test_preprocess_image_shape():
     img = Image.fromarray(np.zeros((100, 300, 3), np.uint8))
     out = preprocess_image(img)
     assert out.shape == (3, 224, 224)
+
+
+def test_loader_substitutes_failed_samples_constant_batch():
+    """A failed sample must not shrink the local batch: multi-host ranks
+    must agree on the global batch shape (a shrunken shard hangs the
+    collective), and a shrunken batch recompiles even single-host."""
+    from valley_tpu.data.dataset import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 1:
+                return ("fail", {"id": i})
+            return {"input_ids": np.full(3, i), "labels": np.full(3, i)}
+
+    coll = DataCollatorForSupervisedDataset(pad_token_id=0,
+                                            pad_to_multiple=1)
+    batches = list(DataLoader(DS(), 4, coll, shuffle=False,
+                              num_workers=1).epoch(0))
+    assert len(batches) == 1
+    assert batches[0]["input_ids"].shape[0] == 4   # substituted, not dropped
+
+    class AllFail:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return ("fail", {"id": i})
+
+    with pytest.raises(RuntimeError, match="failed to load"):
+        list(DataLoader(AllFail(), 2, coll, shuffle=False,
+                        num_workers=1).epoch(0))
+
+
+def test_collator_fixed_shape_mode_always_emits_media_keys():
+    """With pad_frames_to (the multi-host fixed-shape mode) an all-text
+    local batch must still produce images/frame_mask — ranks must trace
+    the same batch pytree or the SPMD step deadlocks."""
+    coll = DataCollatorForSupervisedDataset(pad_token_id=0,
+                                            pad_to_multiple=1,
+                                            pad_frames_to=4,
+                                            image_size=28)
+    batch = coll([{"input_ids": np.ones(3, np.int32),
+                   "labels": np.ones(3, np.int32)}])
+    assert batch["images"].shape == (1, 4, 3, 28, 28)
+    assert batch["frame_mask"].shape == (1, 4)
+    assert not batch["frame_mask"].any()

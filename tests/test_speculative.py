@@ -301,3 +301,24 @@ def test_draft_lookup_prefers_longest_match(cfg, params):
     # depth-3 lookup prefers the full (5,6,7) context -> 42
     np.testing.assert_array_equal(
         np.asarray(ngram_draft(hist, n, 2, ngram=3)), [42, 43])
+
+
+def test_spec_decoders_share_executable_and_telemetry(cfg, params):
+    """Sessions and prefix spawns create a SpecDecoder per reply — they
+    must share ONE jitted rounds executable per (engine, config), not
+    re-trace per request, and their acceptance counters aggregate so
+    worker telemetry sees session/prefix traffic."""
+    from valley_tpu.inference import Engine
+
+    engine = Engine(cfg, params, buckets=(64,), max_new_tokens=16,
+                    cache_dtype=jnp.float32, use_flash=False)
+    d1 = SpecDecoder(engine)
+    d2 = SpecDecoder(engine)
+    assert d1._rounds is d2._rounds
+    d1.total_rounds += 3
+    d2.total_emitted += 5
+    assert d2.total_rounds == 3 and d1.total_emitted == 5
+    # a different config gets its own executable + counters
+    d3 = SpecDecoder(engine, SpecConfig(draft_len=4))
+    assert d3._rounds is not d1._rounds
+    assert d3.total_rounds == 0

@@ -185,6 +185,7 @@ class DataCollatorForSupervisedDataset:
     max_length: Optional[int] = 2048
     pad_to_length: Optional[int] = None
     pad_frames_to: Optional[int] = None
+    image_size: int = 224    # all-text fallback media geometry
 
     def __call__(self, instances: Sequence[Any]) -> Dict[str, np.ndarray]:
         instances = [x for x in instances if not isinstance(x, tuple)]
@@ -215,13 +216,23 @@ class DataCollatorForSupervisedDataset:
         batch = dict(input_ids=input_ids, labels=labels,
                      attention_mask=attention_mask)
 
-        if any("image" in inst for inst in instances):
-            tmax = max(inst["image"].shape[0] for inst in instances
-                       if "image" in inst)
+        # with pad_frames_to (fixed-shape / multi-host mode) the media
+        # keys must ALWAYS exist: ranks whose local rows happen to be
+        # text-only must still produce the same batch pytree structure
+        # as media-carrying ranks, or the SPMD step traces differently
+        # per process
+        has_media = any("image" in inst for inst in instances)
+        if has_media or self.pad_frames_to:
+            if has_media:
+                tmax = max(inst["image"].shape[0] for inst in instances
+                           if "image" in inst)
+                shape = next(inst["image"].shape[1:]
+                             for inst in instances if "image" in inst)
+            else:
+                tmax = 1
+                shape = (3, self.image_size, self.image_size)
             if self.pad_frames_to:
                 tmax = max(tmax, self.pad_frames_to)
-            shape = next(inst["image"].shape[1:] for inst in instances
-                         if "image" in inst)
             images = np.zeros((b, tmax) + tuple(shape), np.float32)
             frame_mask = np.zeros((b, tmax), bool)
             for i, inst in enumerate(instances):
@@ -369,9 +380,22 @@ class DataLoader:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(self.num_workers) as pool:
-                return list(pool.map(self.dataset.__getitem__,
-                                     [int(i) for i in idx]))
-        return [self.dataset[int(i)] for i in idx]
+                items = list(pool.map(self.dataset.__getitem__,
+                                      [int(i) for i in idx]))
+        else:
+            items = [self.dataset[int(i)] for i in idx]
+        # Substitute failed samples (('fail', …) markers) with a good
+        # one from the same fetch: the LOCAL batch size must be
+        # constant — multi-host ranks must agree on the global shape
+        # fed to make_array_from_process_local_data (a shrunken shard
+        # on one rank hangs the collective), and a shrunken batch
+        # compiles a fresh executable even single-host.
+        good = next((x for x in items if not isinstance(x, tuple)), None)
+        if good is None:
+            raise RuntimeError(
+                f"all {len(items)} samples in a fetched batch failed to "
+                "load — check data paths / media files")
+        return [good if isinstance(x, tuple) else x for x in items]
 
     def epoch(self, epoch_idx: int = 0):
         order = np.arange(len(self.dataset))

@@ -355,43 +355,51 @@ class ContinuousEngine:
 
     drain = staticmethod(lambda outq: _drain(outq))
 
-    def warmup(self, frames: int = 0) -> None:
+    def warmup(self, frames=0) -> None:
         """Compile every admission-bucket prefill (at every batched
         admission size, greedy AND sampled — ``do_sample`` is a static
         executable class and serving traffic defaults to temperature > 0)
         + every pooled decode chunk size (each ramp entry and the
-        steady-state ``steps`` are distinct ``n_steps`` executables)."""
-        images = None
-        if frames:
-            v = self.engine.cfg.vision
-            images = np.zeros((1, frames, 3, v.image_size, v.image_size),
-                              np.float32)
+        steady-state ``steps`` are distinct ``n_steps`` executables).
+
+        ``frames`` may be an int or a sequence of frame counts — media
+        admission prefills are per-frame-geometry executables, so a
+        worker serving mixed image/video traffic through the pool warms
+        every frame bucket (pass ``engine.frame_buckets``)."""
+        frame_list = ((frames,) if isinstance(frames, int) else
+                      tuple(frames)) or (0,)
+        v = self.engine.cfg.vision
+        media = [np.zeros((1, t, 3, v.image_size, v.image_size),
+                          np.float32) if t else None
+                 for t in frame_list]
         # batched admission executables, compiled deterministically
         # (grouping via the queue depends on arrival timing): run each
         # (bucket, size) group through prefill AND pool insertion — the
         # multi-row _insert executable is per batch size and a cold
         # compile mid-traffic would stall the decode loop
-        for bucket in self._admission_buckets:
-            for size in self._admit_sizes:
-                if size == 1:
-                    continue   # covered by the submits below
-                for temp in (0.0, 0.7):
-                    group = [_Request(list(range(2, 2 + bucket)), images,
-                                      temp, 1.0, 1, -1)
-                             for _ in range(size)]
-                    items = self._prefill_group(group)
-                    for item in items:
-                        self._ready.put(item)  # decode loop admits+frees
-                        self._wake.set()
-                    for r in group:
-                        for _ in _drain(r.out):
-                            pass
+        for images in media:
+            for bucket in self._admission_buckets:
+                for size in self._admit_sizes:
+                    if size == 1:
+                        continue   # covered by the submits below
+                    for temp in (0.0, 0.7):
+                        group = [_Request(list(range(2, 2 + bucket)),
+                                          images, temp, 1.0, 1, -1)
+                                 for _ in range(size)]
+                        items = self._prefill_group(group)
+                        for item in items:
+                            self._ready.put(item)  # loop admits + frees
+                            self._wake.set()
+                        for r in group:
+                            for _ in _drain(r.out):
+                                pass
         new = 1 + sum(self.ramp) + self.steps
         # a length-b prompt lands exactly in admission bucket b; warm the
         # single-admission prefill in both sampling modes
         queues = [self.submit(list(range(2, 2 + b)), images=images,
                               max_new_tokens=new, eos_id=-1,
                               temperature=temp)
+                  for images in media
                   for b in self._admission_buckets
                   for temp in (0.0, 0.7)]
         for outq in queues:

@@ -144,16 +144,45 @@ class SpecDecoder:
     def __init__(self, engine: Engine, spec: Optional[SpecConfig] = None):
         self.engine = engine
         self.spec = spec or SpecConfig()
-        # monotonic acceptance telemetry (across all streams served by
-        # this decoder): emitted = accepted drafts + 1 correction per
-        # round, so accepted/round = emitted/rounds - 1.  Read deltas to
-        # measure one stream (tools/exp_accept.py).
-        self.total_rounds = 0
-        self.total_emitted = 0
-        self._rounds = jax.jit(
-            self._rounds_impl,
-            static_argnames=("n_rounds", "do_sample"),
-            donate_argnames=("cache", "valid", "hist"))
+        # Share ONE jitted rounds executable and ONE telemetry record
+        # across every SpecDecoder on the same engine+config: sessions
+        # and prefix-cache spawns create a decoder per reply, and a
+        # per-instance jax.jit would re-trace (and re-compile, tens of
+        # seconds at 7B) on every request; shared counters also make
+        # session/prefix speculative traffic visible in the worker's
+        # /worker_get_status stats.
+        shared = engine.__dict__.setdefault("_spec_shared", {})
+        key = (self.spec.draft_len, self.spec.ngram)
+        st = shared.get(key)
+        if st is None:
+            st = shared[key] = {
+                "rounds": 0, "emitted": 0,
+                "jit": jax.jit(
+                    self._rounds_impl,
+                    static_argnames=("n_rounds", "do_sample"),
+                    donate_argnames=("cache", "valid", "hist")),
+            }
+        self._shared = st
+        self._rounds = st["jit"]
+
+    # monotonic acceptance telemetry (across all decoders on this
+    # engine+config): emitted = accepted drafts + 1 correction per
+    # round, so accepted/round = emitted/rounds - 1.
+    @property
+    def total_rounds(self) -> int:
+        return self._shared["rounds"]
+
+    @total_rounds.setter
+    def total_rounds(self, v: int) -> None:
+        self._shared["rounds"] = v
+
+    @property
+    def total_emitted(self) -> int:
+        return self._shared["emitted"]
+
+    @total_emitted.setter
+    def total_emitted(self, v: int) -> None:
+        self._shared["emitted"] = v
 
     # -- device side -------------------------------------------------------
 

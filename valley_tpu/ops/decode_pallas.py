@@ -147,6 +147,12 @@ def decode_attention_stacked(q: jnp.ndarray, k_all: jnp.ndarray,
     n_rep = h // hkv
     quant = k_scale is not None
 
+    if h > 128:
+        # the m/l scratch is laid out (h, 128) and sliced [:, :h] — more
+        # query heads than 128 would index out of bounds (enforced here,
+        # not only in the advisory supports_decode_kernel gate)
+        raise ValueError(f"decode kernel supports at most 128 query "
+                         f"heads, got {h}")
     split = _split_s(s, hkv * d * k_all.dtype.itemsize)
     if split is None:
         raise ValueError(f"no block split for Smax={s}; gate with "

@@ -192,6 +192,19 @@ class ModelWorker:
                                     speculative=self._speculative)
                     sess.chat([5, 6], tokenizer=self.tokenizer,
                               eos_ids=[-1])
+                if self.continuous is not None:
+                    # prefix admission INTO the pool compiles its own
+                    # executables (_grow_cache / pool-geometry _extend /
+                    # _compact_cache + insert) — warm them or the first
+                    # prefix request on a pooled worker stalls cold
+                    from valley_tpu.inference.continuous import _drain
+                    for temp in (0.0, 0.7):
+                        outq = self.continuous.submit(
+                            list(pc.prefix_ids) + [5, 6], prefix=pc,
+                            max_new_tokens=1, eos_id=-1,
+                            temperature=temp)
+                        for _ in _drain(outq):
+                            pass
                 logger.info("warmed prefix path (%d frames)", t)
         if self.max_sessions > 0:
             for gen in gens:
@@ -538,16 +551,23 @@ class ModelWorker:
 
         with self._prefix_lock:
             pc = self._prefix_caches.pop(key, None)
-            if pc is None:
-                self.prefix_misses += 1
-                if len(self._prefix_caches) >= self.prefix_cache_size:
-                    evicted = next(iter(self._prefix_caches))
-                    self._prefix_caches.pop(evicted)
-                    logger.info("evicted prefix %s", evicted)
-                pc = PrefixCache(self.engine, prefix_ids, images)
-            else:
+            if pc is not None:
                 self.prefix_hits += 1
-            self._prefix_caches[key] = pc   # MRU reinsert
+                self._prefix_caches[key] = pc   # MRU reinsert
+                return pc, suffix_ids
+            self.prefix_misses += 1
+        # build OUTSIDE the lock: the prefix prefill is hundreds of ms
+        # of device work (tens of seconds cold) and a concurrent cache
+        # HIT must not wait behind it; a racing duplicate build of the
+        # same key is rare and merely wastes one prefill (last insert
+        # wins the cache slot)
+        pc = PrefixCache(self.engine, prefix_ids, images)
+        with self._prefix_lock:
+            if len(self._prefix_caches) >= self.prefix_cache_size:
+                evicted = next(iter(self._prefix_caches))
+                self._prefix_caches.pop(evicted)
+                logger.info("evicted prefix %s", evicted)
+            self._prefix_caches[key] = pc   # MRU insert
         return pc, suffix_ids
 
     def _chat_stream(self, session, delta_ids, stop_str, ori_prompt: str,
@@ -823,7 +843,12 @@ def main():
                          prefix_cache=args.prefix_cache,
                          admit_batch=args.admit_batch)
     if args.warmup and worker.continuous is not None:
-        worker.continuous.warmup(frames=args.num_frames)
+        # warm EVERY frame bucket through the pool: media admission
+        # prefills are per-frame-geometry executables, and mixed
+        # image/video traffic otherwise stalls the pool on a cold
+        # compile mid-traffic
+        worker.continuous.warmup(
+            frames=engine.frame_buckets or args.num_frames)
         logger.info("continuous-batching warmup done")
     if args.warmup:
         worker.warmup_serving_paths()

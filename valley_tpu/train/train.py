@@ -206,6 +206,7 @@ def train(conf_path: str) -> int:
         coll = module["data_collator"]
         coll.pad_to_length = coll.max_length
         coll.pad_frames_to = data_args.num_frames
+        coll.image_size = cfg.vision.image_size
     # per_device semantics (reference torchrun: batch per GPU): the global
     # batch scales with the data-parallel world size (data x fsdp axes).
     n_dev = len(jax.devices())

@@ -37,8 +37,12 @@ _pending: list = []
 
 
 def _finalize(ckptr, tmp: str, path: str, output_dir: str,
-              keep: Optional[int]) -> str:
+              keep: Optional[int], close: bool = False) -> str:
     ckptr.wait_until_finished()
+    if close:
+        # per-save AsyncCheckpointer: release its background thread /
+        # barrier resources (the blocking path reuses one singleton)
+        ckptr.close()
     if os.path.exists(path):
         shutil.rmtree(path)
     os.replace(tmp, path)
@@ -77,7 +81,9 @@ def save_checkpoint(output_dir: str, state: Any, step: int,
 
     ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
     ckptr.save(tmp, args=ocp.args.StandardSave(state))
-    _pending.append((ckptr, tmp, path, output_dir, keep))
+    _pending.append((ckptr, tmp, path, output_dir, keep, True))
+    # NOTE: the returned path exists only after the NEXT save or
+    # finalize_pending() commits the tmp -> checkpoint-N rename
     return path
 
 
