@@ -372,3 +372,18 @@ def test_collator_fixed_shape_mode_always_emits_media_keys():
     assert batch["images"].shape == (1, 4, 3, 28, 28)
     assert batch["frame_mask"].shape == (1, 4)
     assert not batch["frame_mask"].any()
+
+
+def test_collator_fixed_shape_truncates_excess_frames():
+    """pad_frames_to is EXACT in fixed-shape mode: a sample with more
+    frames (fps mode / long image lists) truncates rather than growing
+    the frame axis — a per-rank local max would diverge the multi-host
+    global shape."""
+    coll = DataCollatorForSupervisedDataset(pad_token_id=0,
+                                            pad_to_multiple=1,
+                                            pad_frames_to=4)
+    batch = coll([{"input_ids": np.ones(3, np.int32),
+                   "labels": np.ones(3, np.int32),
+                   "image": np.ones((7, 3, 28, 28), np.float32)}])
+    assert batch["images"].shape == (1, 4, 3, 28, 28)
+    assert batch["frame_mask"].all()

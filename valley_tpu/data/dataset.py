@@ -4,7 +4,10 @@ Parity with `valley/data/dataset.py`: `HybridDataset` merges an image JSON,
 a video JSON and an optional "fashion" JSON, shuffles once
 (`dataset.py:20-51`), and per item handles multi-image lists / single image
 / video / text-only with per-source video subfolders (`:56-153`); failures
-yield ``('fail', sources)`` tuples the collator drops (`:150-153,163-168`).
+yield ``('fail', sources)`` tuples which the DataLoader SUBSTITUTES with a
+good sample from the same fetch (constant batch size — a shrunken batch
+would recompile single-host and diverge multi-host ranks; the collator's
+tuple filter remains for direct callers).
 
 TPU-first differences:
 * pure numpy (no torch): the collator right-pads ids/labels and, instead
@@ -232,15 +235,21 @@ class DataCollatorForSupervisedDataset:
                 tmax = 1
                 shape = (3, self.image_size, self.image_size)
             if self.pad_frames_to:
-                tmax = max(tmax, self.pad_frames_to)
+                # fixed-shape mode: the frame axis is EXACTLY
+                # pad_frames_to on every rank (a per-rank local max —
+                # e.g. one rank drawing a longer fps-mode video — would
+                # diverge the global shape and hang the multi-host
+                # assembly); samples with more frames truncate
+                tmax = self.pad_frames_to
             images = np.zeros((b, tmax) + tuple(shape), np.float32)
             frame_mask = np.zeros((b, tmax), bool)
             for i, inst in enumerate(instances):
                 img = inst.get("image")
                 if img is None:
                     continue
-                images[i, :img.shape[0]] = img
-                frame_mask[i, :img.shape[0]] = True
+                t = min(img.shape[0], tmax)
+                images[i, :t] = img[:t]
+                frame_mask[i, :t] = True
             batch["images"] = images
             batch["frame_mask"] = frame_mask
         return batch

@@ -368,6 +368,11 @@ class ContinuousEngine:
         every frame bucket (pass ``engine.frame_buckets``)."""
         frame_list = ((frames,) if isinstance(frames, int) else
                       tuple(frames)) or (0,)
+        if 0 not in frame_list:
+            # text-only admission (has_images=False) is its own prefill
+            # executable — the OpenAI route's text requests go through
+            # the pool too; always warm it
+            frame_list = frame_list + (0,)
         v = self.engine.cfg.vision
         media = [np.zeros((1, t, 3, v.image_size, v.image_size),
                           np.float32) if t else None
@@ -377,8 +382,19 @@ class ContinuousEngine:
         # (bucket, size) group through prefill AND pool insertion — the
         # multi-row _insert executable is per batch size and a cold
         # compile mid-traffic would stall the decode loop
+        # a media prompt always carries the num_patches-token span plus
+        # frame/marker tokens; admission buckets too small to ever hold
+        # one would compile unreachable executables
+        def feasible(bucket, images):
+            if images is None:
+                return True
+            span = self.engine.cfg.num_patches + images.shape[1] + 4
+            return bucket >= span
+
         for images in media:
             for bucket in self._admission_buckets:
+                if not feasible(bucket, images):
+                    continue
                 for size in self._admit_sizes:
                     if size == 1:
                         continue   # covered by the submits below
@@ -401,6 +417,7 @@ class ContinuousEngine:
                               temperature=temp)
                   for images in media
                   for b in self._admission_buckets
+                  if feasible(b, images)
                   for temp in (0.0, 0.7)]
         for outq in queues:
             for _ in _drain(outq):

@@ -38,6 +38,7 @@ counterpart (beyond-parity).
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Iterator, Optional, Sequence
 
 import jax
@@ -47,6 +48,10 @@ import numpy as np
 from valley_tpu.inference.engine import (ChatSession, Engine,
                                          GenerationConfig, filter_logits)
 from valley_tpu.models import llama
+
+# guards the per-engine shared jit/telemetry records (decoders are
+# constructed and counted from concurrent serve request threads)
+_SHARED_LOCK = threading.Lock()
 
 
 def ngram_draft(hist: jnp.ndarray, hist_len, draft_len: int,
@@ -151,19 +156,27 @@ class SpecDecoder:
         # seconds at 7B) on every request; shared counters also make
         # session/prefix speculative traffic visible in the worker's
         # /worker_get_status stats.
-        shared = engine.__dict__.setdefault("_spec_shared", {})
-        key = (self.spec.draft_len, self.spec.ngram)
-        st = shared.get(key)
-        if st is None:
-            st = shared[key] = {
-                "rounds": 0, "emitted": 0,
-                "jit": jax.jit(
-                    self._rounds_impl,
-                    static_argnames=("n_rounds", "do_sample"),
-                    donate_argnames=("cache", "valid", "hist")),
-            }
+        with _SHARED_LOCK:   # concurrent spawns race the first build
+            shared = engine.__dict__.setdefault("_spec_shared", {})
+            key = (self.spec.draft_len, self.spec.ngram)
+            st = shared.get(key)
+            if st is None:
+                st = shared[key] = {
+                    "rounds": 0, "emitted": 0,
+                    "jit": jax.jit(
+                        self._rounds_impl,
+                        static_argnames=("n_rounds", "do_sample"),
+                        donate_argnames=("cache", "valid", "hist")),
+                }
         self._shared = st
         self._rounds = st["jit"]
+
+    def _count(self, rounds: int = 0, emitted: int = 0) -> None:
+        """Lock-protected telemetry increment (request threads race the
+        read-modify-write otherwise)."""
+        with _SHARED_LOCK:
+            self._shared["rounds"] += rounds
+            self._shared["emitted"] += emitted
 
     # monotonic acceptance telemetry (across all decoders on this
     # engine+config): emitted = accepted drafts + 1 correction per
@@ -309,9 +322,8 @@ class SpecDecoder:
             toks_np = np.asarray(toks)          # (R, D+1)
             counts_np = np.asarray(counts)      # (R,)
             for r in range(toks_np.shape[0]):
-                self.total_rounds += 1
+                self._count(rounds=1, emitted=int(counts_np[r]))
                 for t in toks_np[r, :counts_np[r]]:
-                    self.total_emitted += 1
                     yield int(t)
                     emitted += 1
                     if int(t) in eos or emitted >= max_new:
@@ -413,8 +425,8 @@ class SpecChatSession(ChatSession):
             toks_np = np.asarray(toks)
             counts_np = np.asarray(counts)
             for r in range(toks_np.shape[0]):
-                self._decoder.total_rounds += 1
-                self._decoder.total_emitted += int(counts_np[r])
+                self._decoder._count(rounds=1,
+                                     emitted=int(counts_np[r]))
                 for t in toks_np[r, :counts_np[r]]:
                     tokens.append(int(t))
                     if on_token:

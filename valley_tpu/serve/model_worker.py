@@ -192,20 +192,27 @@ class ModelWorker:
                                     speculative=self._speculative)
                     sess.chat([5, 6], tokenizer=self.tokenizer,
                               eos_ids=[-1])
-                if self.continuous is not None:
-                    # prefix admission INTO the pool compiles its own
-                    # executables (_grow_cache / pool-geometry _extend /
-                    # _compact_cache + insert) — warm them or the first
-                    # prefix request on a pooled worker stalls cold
-                    from valley_tpu.inference.continuous import _drain
+                logger.info("warmed prefix path (%d frames)", t)
+            if self.continuous is not None:
+                # prefix admission INTO the pool compiles its own
+                # executables (_grow_cache / pool-geometry _extend /
+                # _compact_cache + insert) — warm them or the first
+                # prefix request on a pooled worker stalls cold.  The
+                # _extend executable is keyed on the pow2 suffix-chunk
+                # width, so warm the common question-length classes
+                # (16 / 32 / 64 tokens); these are frame-bucket-
+                # independent (one pass with the last prefix suffices).
+                from valley_tpu.inference.continuous import _drain
+                for suffix_len in (2, 17, 33):
                     for temp in (0.0, 0.7):
                         outq = self.continuous.submit(
-                            list(pc.prefix_ids) + [5, 6], prefix=pc,
+                            list(pc.prefix_ids)
+                            + list(range(5, 5 + suffix_len)), prefix=pc,
                             max_new_tokens=1, eos_id=-1,
                             temperature=temp)
                         for _ in _drain(outq):
                             pass
-                logger.info("warmed prefix path (%d frames)", t)
+                logger.info("warmed pooled prefix admission")
         if self.max_sessions > 0:
             for gen in gens:
                 sess = ChatSession(eng, gen, extra_slots=512)
@@ -563,7 +570,10 @@ class ModelWorker:
         # wins the cache slot)
         pc = PrefixCache(self.engine, prefix_ids, images)
         with self._prefix_lock:
-            if len(self._prefix_caches) >= self.prefix_cache_size:
+            if (key not in self._prefix_caches
+                    and len(self._prefix_caches) >= self.prefix_cache_size):
+                # (key-present check: a racing duplicate build of the
+                # same key must not evict an unrelated warm prefix)
                 evicted = next(iter(self._prefix_caches))
                 self._prefix_caches.pop(evicted)
                 logger.info("evicted prefix %s", evicted)

@@ -41,7 +41,8 @@ def _finalize(ckptr, tmp: str, path: str, output_dir: str,
     ckptr.wait_until_finished()
     if close:
         # per-save AsyncCheckpointer: release its background thread /
-        # barrier resources (the blocking path reuses one singleton)
+        # barrier resources (blocking-path StandardCheckpointers are
+        # short-lived, thread-free, and GC-managed)
         ckptr.close()
     if os.path.exists(path):
         shutil.rmtree(path)
