@@ -158,14 +158,17 @@ def main():
         worker._prefix_caches.clear()
 
     def first_chunk_ms():
-        t0 = time.perf_counter()
-        tf = None
-        for c in stream_chunks(f"{ctrl_url}/worker_generate_stream",
-                               req2, timeout=600):
-            if tf is None:
-                tf = time.perf_counter() - t0
-        assert c["error_code"] == 0, c
-        return tf * 1e3
+        for attempt in range(5):   # transient proxy timeouts (error 3)
+            t0 = time.perf_counter()
+            tf = None
+            for c in stream_chunks(f"{ctrl_url}/worker_generate_stream",
+                                   req2, timeout=600):
+                if tf is None:
+                    tf = time.perf_counter() - t0
+            if c["error_code"] == 0:
+                return tf * 1e3
+            print(f"prefix attempt {attempt}: {c}", flush=True)
+        raise AssertionError(c)
 
     miss_ms = first_chunk_ms()
     hit_ms = first_chunk_ms()
