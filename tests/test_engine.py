@@ -314,9 +314,11 @@ def test_tail_call_pads_to_warm_size(cfg, params):
     assert sizes == [8, 8]
 
 
-def test_tail_call_exact_when_cache_lacks_room(cfg, params):
-    """When max_new_tokens hits the engine maximum the cache has no slack
-    for a padded call — the tail falls back to the exact remainder."""
+def test_tail_call_padded_even_at_engine_max(cfg, params):
+    """Even when max_new_tokens hits the engine maximum, the reserved
+    steps_per_call cache slack lets the tail pad to a warm schedule size
+    (no one-off exact-remainder executable); surplus tokens are
+    discarded."""
     eng = Engine(cfg, params, buckets=(32,), max_new_tokens=12,
                  cache_dtype=jnp.float32, use_flash=False,
                  steps_per_call=8)
@@ -333,8 +335,12 @@ def test_tail_call_exact_when_cache_lacks_room(cfg, params):
     toks = [int(t[0]) for t in eng.generate_tokens([prompt], gen=gen,
                                                    eos_ids=[-1])]
     assert len(toks) == 12
-    # room after the 8-step call is 12 - 8 = 4 < 8: exact 3-step tail
-    assert sizes == [8, 3]
+    # want after the 8-step call is 12 - 1 - 8 = 3 < 8: pads to the warm
+    # 8-step executable (room is guaranteed by the reserved slack)
+    assert sizes == [8, 8]
+    # the exact-remainder safety net still exists for callers that size
+    # their own cache tighter
+    assert eng._tail_steps(3, 3) == 3
 
 
 def test_decode_ramp_session_identical(cfg, params):

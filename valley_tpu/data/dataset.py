@@ -366,6 +366,7 @@ class DataLoader:
         self.num_workers = num_workers
         self.process_index = process_index
         self.process_count = max(1, process_count)
+        self._last_good = None   # substitution source for all-fail batches
         if self.process_count > 1:
             if batch_size % self.process_count:
                 raise ValueError(
@@ -401,9 +402,21 @@ class DataLoader:
         # compiles a fresh executable even single-host.
         good = next((x for x in items if not isinstance(x, tuple)), None)
         if good is None:
-            raise RuntimeError(
-                f"all {len(items)} samples in a fetched batch failed to "
-                "load — check data paths / media files")
+            # An all-fail batch must not raise mid-epoch: in multi-host
+            # fixed-shape mode that kills one rank while its peers block
+            # in the collective (hang) — exactly what substitution is
+            # for.  Reuse a sample from the last successful fetch; only
+            # an all-fail FIRST batch (nothing to substitute from, i.e.
+            # systematically broken data paths) is fatal.
+            if self._last_good is None:
+                raise RuntimeError(
+                    f"all {len(items)} samples in the first fetched batch "
+                    "failed to load — check data paths / media files")
+            logger.warning("all %d samples in a fetched batch failed; "
+                           "substituting from the previous batch",
+                           len(items))
+            good = self._last_good
+        self._last_good = good
         return [good if isinstance(x, tuple) else x for x in items]
 
     def epoch(self, epoch_idx: int = 0):

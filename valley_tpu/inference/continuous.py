@@ -114,6 +114,9 @@ class ContinuousEngine:
             self.hist_max = self.smax + self._spec.draft_len + 1
 
         self._active: List[Optional[_Request]] = [None] * rows
+        # warmup-only escape hatch: sizes queued here override the ramp
+        # schedule for the next pooled calls (see warmup's spec pass)
+        self._force_chunks: List[int] = []
         self._reset_pool()
 
         self._decode = jax.jit(self._decode_impl,
@@ -148,11 +151,13 @@ class ContinuousEngine:
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         # bounded parked-KV: each ready item references one row of a
         # prefilled cache on device, so cap how many ROWS can pile up
-        # ahead of free rows (deep enough to refill a large pool in one
-        # chunk boundary — measured +14% aggregate at 16 rows vs the old
-        # depth-2 park — shallow enough to bound parked HBM; a partially
-        # consumed batch keeps its whole batch cache alive, so worst
-        # case is ready_depth + admit_batch - 1 rows)
+        # ahead of free rows.  The default refills up to 8 freed rows
+        # per chunk boundary (measured +14% aggregate at 16 rows vs the
+        # old depth-2 park; pass ready_depth=rows to guarantee a full
+        # single-boundary refill of larger pools at proportionally more
+        # parked HBM) while bounding parked memory; a partially consumed
+        # batch keeps its whole batch cache alive, so worst case is
+        # ready_depth + admit_batch - 1 rows
         if ready_depth is None:
             ready_depth = min(8, max(2, rows))
         if ready_depth < 1:
@@ -422,6 +427,25 @@ class ContinuousEngine:
         for outq in queues:
             for _ in _drain(outq):
                 pass
+        if self._spec is not None:
+            # Speculative chunks are verification ROUNDS, each emitting
+            # 1..draft_len+1 tokens per row, so the token-counted ramp
+            # above visits the _spec_decode n_steps executables
+            # acceptance-dependently — a high-acceptance warmup could
+            # skip a size that a later request then compiles cold,
+            # stalling the decode loop.  Force one pooled call at every
+            # scheduled size; the driven request's budget exceeds the
+            # max tokens those calls can emit, so it stays active until
+            # every size has compiled.
+            sizes = sorted(set(self.ramp) | {self.steps})
+            budget = sum(sizes) * (self._spec.draft_len + 1) + 2
+            self._force_chunks = list(sizes)
+            outq = self.submit(list(range(2, 2 + self._admission_buckets[0])),
+                               max_new_tokens=budget, eos_id=-1,
+                               temperature=0.0)
+            for _ in _drain(outq):
+                pass
+            self._force_chunks = []   # safety: resume the ramp schedule
 
     # -- prefill worker (admission never blocks the decode loop) ----------
 
@@ -620,6 +644,11 @@ class ContinuousEngine:
         is still inside the ramp, ``steps`` once every row has matured.
         Only values from ``ramp`` ∪ {steps} ever occur, so warmup covers
         every executable."""
+        if self._force_chunks:
+            # warmup drains these to visit every scheduled size exactly
+            # once regardless of speculative acceptance (list is only
+            # ever populated by warmup, consumed by this loop thread)
+            return self._force_chunks.pop(0)
         if not self.ramp:
             return self.steps
         best = self.steps

@@ -315,9 +315,12 @@ class Engine:
         ~10 ms each and only on the reply's final call.  Callers discard
         tokens past ``max_new`` — the kept prefix is bit-identical to an
         exact-size call because per-step RNG keys split off the scan
-        carry, not off ``n_steps``.  Falls back to the exact remainder
-        when the cache lacks room for a padded call (only possible when
-        a request's ``max_new_tokens`` hits the engine maximum)."""
+        carry, not off ``n_steps``.  Every caller reserves
+        ``steps_per_call`` spare cache slots beyond ``max_new`` (stateless
+        ``generate`` in its ``cache_slots``, sessions via
+        ``_decode_slack``), so the exact-remainder fallback below is
+        unreachable in normal operation — it remains only as a safety
+        net for callers that size their own cache tighter."""
         for s in self._sched_sizes:
             if want <= s <= room:
                 return s
@@ -419,7 +422,7 @@ class Engine:
         tok, _logits, cache, valid = self._prefill(
             self.params, jnp.asarray(ids), images, jnp.asarray(lens), sub,
             gen.temperature, gen.top_p, frame_mask, bucket=bucket,
-            cache_len=bucket + self.max_new_tokens,
+            cache_len=bucket + self.max_new_tokens + self.steps_per_call,
             do_sample=gen.do_sample, has_images=has_images)
         seq_len = jnp.asarray(lens)
         slot = bucket  # prompt chunk occupied slots [0, bucket)
@@ -434,7 +437,12 @@ class Engine:
         alive &= ~np.isin(tok_np, eos_arr)
         step = 1
         sched = self._ramp_iter()
-        cache_slots = bucket + self.max_new_tokens
+        # steps_per_call spare slots guarantee the final (short) call can
+        # always pad up to a warm schedule size, even at the engine's
+        # max_new_tokens — without them, any max_new within steps_per_call
+        # of the engine maximum hit the exact-remainder fallback below
+        # (a one-off ~20 s cold compile mid-traffic)
+        cache_slots = bucket + self.max_new_tokens + self.steps_per_call
         while step < max_new and alive.any():
             want = max_new - step
             n_steps = next(sched)
@@ -542,13 +550,15 @@ class PrefixCache:
             else 4 * (eng.max_new_tokens + 64)
         # prefill only — the sampled next-token is discarded (each
         # spawned session continues with its own delta tokens).
-        # cache_len matches ChatSession._first_turn's so the prefill
-        # executable is shared with plain first turns.
+        # cache_len matches ChatSession._first_turn's (which adds its
+        # steps_per_call tail-padding slack) so the prefill executable is
+        # shared with plain first turns at the same extra_slots class.
         _tok, _lg, cache, valid = eng._prefill(
             eng.params, jnp.asarray(ids), imgs, jnp.asarray([n], np.int32),
             jax.random.key(self.gen.seed), self.gen.temperature,
             self.gen.top_p, frame_mask, bucket=bucket,
-            cache_len=bucket + eng.max_new_tokens + extra,
+            cache_len=bucket + eng.max_new_tokens + extra
+            + eng.steps_per_call,
             do_sample=False, has_images=has_images)
         # keep only the prefix fragment (prompt slots [0, bucket))
         self._frag = jax.tree.map(lambda x: x[:, :, :bucket], cache)
@@ -660,10 +670,12 @@ class ChatSession:
         self._key = jax.random.key(self.gen.seed)
         self._state = None  # (cache, valid, seq_host: int, slot: int)
         self.extra_slots = extra_slots
-        # extra cache slots a decode loop may touch beyond max_new
-        # (speculative rounds write draft-wide windows; see
-        # SpecChatSession)
-        self._decode_slack = 0
+        # extra cache slots a decode loop may touch beyond max_new:
+        # steps_per_call spare slots let the turn's final (short) fused
+        # call pad up to a warm schedule size instead of compiling a
+        # one-off exact-remainder executable (speculative rounds write
+        # draft-wide windows on top of this; see SpecChatSession)
+        self._decode_slack = engine.steps_per_call
 
     @property
     def started(self) -> bool:
