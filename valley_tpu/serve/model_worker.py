@@ -24,6 +24,8 @@ import threading
 import time
 import uuid
 from io import BytesIO
+from typing import Optional
+
 import numpy as np
 
 from valley_tpu.constants import (DEFAULT_IM_END_TOKEN,
@@ -35,10 +37,19 @@ from valley_tpu.constants import (DEFAULT_IM_END_TOKEN,
                                   DEFAULT_VIDEO_FRAME_TOKEN,
                                   DEFAULT_VIDEO_TOKEN,
                                   WORKER_HEART_BEAT_INTERVAL)
+from valley_tpu.serve import hbm
 from valley_tpu.serve.httpd import JsonHttpServer, post_json
 from valley_tpu.utils.logging import server_error_msg
 
 logger = logging.getLogger("model_worker")
+
+# extra_slots for PrefixCache entries built by the worker: stateless
+# prefix requests are single-turn, so the multi-turn default
+# (4*(max_new+64) slots — ~1.1 GB of transient spawn cache per in-flight
+# request at 7B int8) is replaced by the 512-slot class the session path
+# already warms (~0.53 GB total spawn cache).  Caps the question suffix
+# at 512 tokens; longer suffixes fall back to the plain path.
+_PREFIX_SPAWN_EXTRA = 512
 
 
 class ModelWorker:
@@ -54,7 +65,8 @@ class ModelWorker:
                  speculative: bool = False,
                  frame_mode: str = "fixed",
                  prefix_cache: int = 0,
-                 admit_batch: int = 4):
+                 admit_batch: int = 4,
+                 hbm_budget_gb: Optional[float] = None):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = str(uuid.uuid4())[:6]
@@ -98,6 +110,10 @@ class ModelWorker:
         self.prefix_cache_size = prefix_cache
         self._prefix_caches: "dict[str, object]" = {}
         self._prefix_lock = threading.Lock()
+        # key -> Event: dedups concurrent misses on the SAME key (the
+        # second request waits on the first build instead of running a
+        # duplicate prefill; see _prefix_lookup)
+        self._prefix_inflight: "dict[str, threading.Event]" = {}
         self.prefix_hits = 0
         self.prefix_misses = 0
         # serving telemetry, surfaced under "stats" in /worker_get_status
@@ -114,6 +130,62 @@ class ModelWorker:
             from valley_tpu.inference.speculative import SpecDecoder
 
             self.spec_decoder = SpecDecoder(engine)
+        # --hbm-budget: ONE accountant over everything resident on the
+        # chip (weights, pool incl. parked worst case, sessions, prefix
+        # fragments, stateless in-flight worst case).  Fixed allocations
+        # over budget are rejected HERE (startup), dynamic ones evict
+        # across caches or degrade instead of OOMing mid-traffic.  The
+        # reference's crude equivalent is a hardcoded 13 GiB/GPU cap
+        # (`model_worker.py:57`).  None = auto (device-reported HBM minus
+        # headroom; disabled when the backend doesn't report, e.g. CPU
+        # test meshes); <= 0 = disabled.
+        self.hbm = None
+        self.session_refusals = 0
+        self.prefix_budget_skips = 0
+        self._hbm_shards = 1
+        total = None
+        if hbm_budget_gb is None:
+            cap = hbm.device_hbm_bytes()
+            if cap:
+                # headroom for XLA temps/output buffers (the 13B AOT
+                # table measured <=1.5 GB temps for pooled decode) and
+                # host->device staging
+                total = cap - max(2 * hbm.GiB, int(0.10 * cap))
+        elif hbm_budget_gb > 0:
+            total = int(hbm_budget_gb * hbm.GiB)
+        if total:
+            mesh = getattr(engine, "mesh", None)
+            self._hbm_shards = mesh.size if mesh is not None else 1
+            self.hbm = hbm.HbmBudget(total)
+            self.hbm.register_fixed(
+                "weights", hbm.tree_bytes(engine.params) // self._hbm_shards)
+            slot = hbm.kv_slot_bytes(engine.cfg.text, engine.cache_dtype)
+            if self.continuous is not None:
+                pool = hbm.tree_bytes(self.continuous._cache)
+                pool += hbm.tree_bytes(getattr(self.continuous, "_hist",
+                                               None) or ())
+                parked = (self.continuous.ready_depth
+                          + self.continuous.admit_batch - 1)
+                pool += parked * self.continuous.smax * slot
+                self.hbm.register_fixed("pool", pool // self._hbm_shards)
+            elif self.batcher is not None:
+                rows = max_batch * (engine.buckets[-1]
+                                    + engine.max_new_tokens
+                                    + engine.steps_per_call) * slot
+                self.hbm.register_fixed("batcher",
+                                        rows // self._hbm_shards)
+            else:
+                # plain-path worst case: every concurrency slot running a
+                # stateless generate / prefix spawn at the largest bucket
+                # (prefix spawns use the 512-slot extra class, the larger
+                # of the two transient shapes)
+                slots = (engine.buckets[-1] + engine.max_new_tokens
+                         + 512 + engine.steps_per_call)
+                self.hbm.register_fixed(
+                    "inflight",
+                    limit_model_concurrency * slots * slot
+                    // self._hbm_shards)
+            logger.info("hbm budget: %s", self.hbm.snapshot())
         if not no_register:
             try:
                 self.register_to_controller()
@@ -186,7 +258,8 @@ class ModelWorker:
                         + [tok.vi_frame] * t + [tok.vi_end])
                 images = np.zeros((1, t, 3, v.image_size, v.image_size),
                                   np.float32)
-                pc = PrefixCache(eng, [1] + span, images)
+                pc = PrefixCache(eng, [1] + span, images,
+                                 extra_slots=_PREFIX_SPAWN_EXTRA)
                 for gen in gens:
                     sess = pc.spawn(gen=gen,
                                     speculative=self._speculative)
@@ -220,6 +293,30 @@ class ModelWorker:
                 sess.chat([7, 8], tokenizer=self.tokenizer, eos_ids=[-1])
             logger.info("warmed session path")
 
+    def _hbm_make_room(self, deficit: int) -> int:
+        """Budget eviction across caches: prefix fragments first (pure
+        optimization — a future request re-prefills), then idle sessions
+        (the client's next turn falls back to a full-conversation
+        prefill, correctness preserved).  Returns bytes freed."""
+        if self.hbm is None:
+            return 0
+        freed = 0
+        with self._prefix_lock:
+            while self._prefix_caches and freed < deficit:
+                k = next(iter(self._prefix_caches))
+                self._prefix_caches.pop(k)
+                freed += self.hbm.release(f"prefix:{k}")
+                logger.info("hbm: evicted prefix %s", k)
+        if freed >= deficit:
+            return freed
+        with self._session_lock:
+            while self._sessions and freed < deficit:
+                sid = next(iter(self._sessions))
+                self._sessions.pop(sid)
+                freed += self.hbm.release(f"session:{sid}")
+                logger.info("hbm: evicted idle session %s", sid)
+        return freed
+
     def _count(self, tokens: int = 0, requests: int = 0) -> None:
         with self._stats_lock:
             self.stats_requests += requests
@@ -237,6 +334,12 @@ class ModelWorker:
             stats["spec_rounds"] = sd.total_rounds
             stats["spec_accept_per_round"] = round(
                 sd.total_emitted / sd.total_rounds, 3)
+        if self.hbm is not None:
+            stats["hbm"] = self.hbm.snapshot()
+            if self.session_refusals:
+                stats["session_refusals"] = self.session_refusals
+            if self.prefix_budget_skips:
+                stats["prefix_budget_skips"] = self.prefix_budget_skips
         return {"model_names": [self.model_name], "speed": 1,
                 "queue_length": self.get_queue_length(), "stats": stats}
 
@@ -413,6 +516,8 @@ class ModelWorker:
                 # LRU eviction: drop the stalest session
                 oldest = next(iter(self._sessions))
                 self._sessions.pop(oldest)
+                if self.hbm is not None:
+                    self.hbm.release(f"session:{oldest}")
                 logger.info("evicted session %s", oldest)
 
         # extra_slots quantized UP to a 512 multiple: the session cache
@@ -422,7 +527,23 @@ class ModelWorker:
         extra = -(-(2 * gen.max_new_tokens + 256) // 512) * 512
 
         def new_session():
-            return ChatSession(self.engine, gen, extra_slots=extra)
+            sess = ChatSession(self.engine, gen, extra_slots=extra)
+            if self.hbm is not None and not self.hbm.reserve(
+                    f"session:{session_id}", "sessions",
+                    hbm.session_cache_bytes(self.engine, extra,
+                                            sess._decode_slack)
+                    // self._hbm_shards,
+                    self._hbm_make_room):
+                # no room even after cross-cache eviction: refuse the
+                # session instead of OOMing the chip (the error gate
+                # maps this to an error_code reply)
+                with self._stats_lock:
+                    self.session_refusals += 1
+                raise RuntimeError(
+                    "HBM budget exhausted: cannot admit a new session "
+                    "(retry later, or raise --hbm-budget / lower "
+                    "--max-sessions)")
+            return sess
 
         session, known = entry if entry else (None, [])
         delta = None
@@ -472,6 +593,10 @@ class ModelWorker:
             if isinstance(item, tuple):
                 kind, payload = item
                 if kind == "error":
+                    if self.hbm is not None:
+                        # the session won't be stored back; drop its
+                        # budget reservation
+                        self.hbm.release(f"session:{session_id}")
                     raise payload
                 reply = payload
                 break
@@ -495,6 +620,11 @@ class ModelWorker:
         with self._session_lock:
             self._sessions[session_id] = (session,
                                           list(input_ids) + list(reply))
+        if self.hbm is not None and session._state is not None:
+            # correct the worst-case estimate to the exact resident bytes
+            self.hbm.update(f"session:{session_id}",
+                            hbm.tree_bytes(session._state[0])
+                            // self._hbm_shards)
         yield json.dumps({"text": ori_prompt + cur_out,
                           "error_code": 0}).encode() + b"\0"
 
@@ -547,6 +677,8 @@ class ModelWorker:
         if split is None:
             return None
         prefix_ids, suffix_ids = split
+        if len(suffix_ids) > _PREFIX_SPAWN_EXTRA:
+            return None   # suffix exceeds the spawn cache's extra class
         h = hashlib.md5()
         for m in (params.get("videos") or params.get("images") or []):
             h.update(m if isinstance(m, bytes) else str(m).encode())
@@ -556,28 +688,54 @@ class ModelWorker:
 
         from valley_tpu.inference.engine import PrefixCache
 
-        with self._prefix_lock:
-            pc = self._prefix_caches.pop(key, None)
-            if pc is not None:
-                self.prefix_hits += 1
-                self._prefix_caches[key] = pc   # MRU reinsert
-                return pc, suffix_ids
-            self.prefix_misses += 1
+        while True:
+            with self._prefix_lock:
+                pc = self._prefix_caches.pop(key, None)
+                if pc is not None:
+                    self.prefix_hits += 1
+                    self._prefix_caches[key] = pc   # MRU reinsert
+                    return pc, suffix_ids
+                building = self._prefix_inflight.get(key)
+                if building is None:
+                    # we own the build for this key
+                    self.prefix_misses += 1
+                    self._prefix_inflight[key] = threading.Event()
+                    break
+            # another request is already prefilling this exact key: wait
+            # for its build instead of duplicating hundreds of ms of
+            # device work (plus transient double HBM for the fragment),
+            # then re-check the cache.  Bounded wait: if the builder died
+            # without signalling, loop re-checks and may take over.
+            building.wait(timeout=120.0)
         # build OUTSIDE the lock: the prefix prefill is hundreds of ms
         # of device work (tens of seconds cold) and a concurrent cache
-        # HIT must not wait behind it; a racing duplicate build of the
-        # same key is rare and merely wastes one prefill (last insert
-        # wins the cache slot)
-        pc = PrefixCache(self.engine, prefix_ids, images)
-        with self._prefix_lock:
-            if (key not in self._prefix_caches
-                    and len(self._prefix_caches) >= self.prefix_cache_size):
-                # (key-present check: a racing duplicate build of the
-                # same key must not evict an unrelated warm prefix)
-                evicted = next(iter(self._prefix_caches))
-                self._prefix_caches.pop(evicted)
-                logger.info("evicted prefix %s", evicted)
-            self._prefix_caches[key] = pc   # MRU insert
+        # HIT on a DIFFERENT key must not wait behind it
+        try:
+            if self.hbm is not None and not self.hbm.reserve(
+                    f"prefix:{key}", "prefix",
+                    hbm.prefix_fragment_bytes(self.engine, len(prefix_ids))
+                    // self._hbm_shards,
+                    self._hbm_make_room):
+                # budget short even after cross-cache eviction: degrade
+                # to the plain un-cached path instead of allocating
+                with self._stats_lock:
+                    self.prefix_budget_skips += 1
+                logger.info("hbm: budget short, skipping prefix cache")
+                return None
+            pc = PrefixCache(self.engine, prefix_ids, images,
+                             extra_slots=_PREFIX_SPAWN_EXTRA)
+            with self._prefix_lock:
+                if len(self._prefix_caches) >= self.prefix_cache_size:
+                    evicted = next(iter(self._prefix_caches))
+                    self._prefix_caches.pop(evicted)
+                    self.hbm and self.hbm.release(f"prefix:{evicted}")
+                    logger.info("evicted prefix %s", evicted)
+                self._prefix_caches[key] = pc   # MRU insert
+        finally:
+            with self._prefix_lock:
+                ev = self._prefix_inflight.pop(key, None)
+            if ev is not None:
+                ev.set()   # wake waiters (they re-check the cache)
         return pc, suffix_ids
 
     def _chat_stream(self, session, delta_ids, stop_str, ori_prompt: str,
@@ -832,6 +990,15 @@ def main():
                              "self-speculation (greedy token-identical, "
                              "sampling distribution-exact; "
                              "speeds up extractive/repetitive replies)")
+    parser.add_argument("--hbm-budget", type=float, default=None,
+                        help="serving-wide HBM budget in GiB governing "
+                             "weights + pool + sessions + prefix caches "
+                             "as ONE ledger (over-budget configs are "
+                             "rejected at startup; dynamic allocations "
+                             "evict across caches or degrade instead of "
+                             "OOMing).  Default: device HBM minus "
+                             "headroom when the backend reports it; "
+                             "<= 0 disables")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -851,7 +1018,8 @@ def main():
                          speculative=args.speculative,
                          frame_mode=args.frame_mode,
                          prefix_cache=args.prefix_cache,
-                         admit_batch=args.admit_batch)
+                         admit_batch=args.admit_batch,
+                         hbm_budget_gb=args.hbm_budget)
     if args.warmup and worker.continuous is not None:
         # warm EVERY frame bucket through the pool: media admission
         # prefills are per-frame-geometry executables, and mixed
