@@ -1,0 +1,331 @@
+"""Quantization quality gate (VERDICT r3 item 5): measures what
+``--quantize int8/int4`` does to any checkpoint and PASS/FAILs it
+against documented thresholds — the automated validator the int4 flag
+previously lacked ("validate quality on your checkpoint").
+
+Three measurement levels per mode (int8 / int4 / int4 group-wise):
+
+1. **Per-tensor reconstruction** — relative RMS error of
+   dequant(quant(W)) vs W for every quant target (mean/max over the
+   layer stack).
+2. **Prefill logit drift** — full multimodal forward (text + synthetic
+   video prompts) quantized vs bf16: max/mean |Δlogit| normalized by the
+   bf16 logit std, and top-1 agreement across all positions.
+3. **Greedy generation divergence** — first-divergence index and
+   matched-prefix fraction over N generated tokens through the REAL
+   engine decode path (the int4 path exercises ``decode_w4`` exactly as
+   serving does).
+
+Default accept thresholds (override with --max-recon / --min-top1):
+
+  mode     recon(mean)  top1(prefill)   rationale
+  int8        1%           99%          lossless in practice; drift at
+                                        this level is bf16 noise scale
+  int4        12%          90%          per-channel symmetric int4's
+                                        known error; gate catches
+                                        checkpoints with outlier
+                                        channels that need group-wise
+  int4g128    4%           97%          group-wise recovers ~4x recon
+
+Generation divergence is REPORTED, not gated: greedy decode chaotically
+amplifies one flipped argmax, so prefix length is informative but noisy
+(the logit-level stats are the stable signal).
+
+Thresholds are calibrated so a healthy checkpoint passes at any weight
+scale (they normalize by tensor/logit magnitudes); random-weight runs
+(zero egress) OVERSTATE drift vs trained weights because random logit
+margins are near-flat (argmax flips on noise-level perturbations), so a
+PASS here is conservative — and ``random:tiny`` typically FAILs the
+top-1 gate by construction, which makes it the smoke test for the FAIL
+path, not a quality statement.
+
+Usage:
+  python tools/quant_report.py                     # random:tiny, CPU-safe
+  python tools/quant_report.py --model random:7b   # on-chip random 7B
+  python tools/quant_report.py --model /path/to/hf_checkpoint
+  python tools/quant_report.py --modes int8,int4,int4g128 --new-tokens 32
+
+Prints a table to stderr and one JSON line (per-mode metrics + verdicts)
+to stdout.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))   # repo root, for `python tools/...`
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_params(model: str, dtype):
+    """(cfg, HOST numpy param tree).  Host-side so each mode can rebuild
+    a fresh device tree (quantize_llama_params consumes its input)."""
+    import jax
+    import jax.numpy as jnp
+
+    from valley_tpu import config as C
+    from valley_tpu.models import valley
+
+    if model == "random:tiny":
+        cfg = C.valley_tiny()
+        params = valley.init_params(cfg, jax.random.key(0), dtype)
+    elif model == "random:7b":
+        cfg = C.valley_7b()
+        params = _init_7b_lowmem(cfg, dtype)
+    else:
+        from valley_tpu.utils import hf_bridge
+
+        cfg, params, _tok = hf_bridge.load_valley_checkpoint(model)
+    host = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), params)
+    del params
+    return cfg, host
+
+
+def _init_7b_lowmem(cfg, dtype):
+    """Random-normal 7B init that fits a 16 GB chip: stacked layer
+    tensors fill one layer at a time through a donating jit (a whole-
+    stack fp32 normal would transiently need ~6 GB per tensor on top of
+    the ~13 GB resident tree)."""
+    import jax
+    import jax.numpy as jnp
+
+    from valley_tpu.models import valley
+
+    tiny_like = jax.eval_shape(
+        lambda k: valley.init_params(cfg, k, dtype), jax.random.key(0))
+
+    @jax.jit
+    def _fill_layer(stack, layer, i):
+        return jax.lax.dynamic_update_index_in_dim(stack, layer, i, 0)
+
+    key = jax.random.key(0)
+
+    def build(path, sd):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        shape, dt = sd.shape, sd.dtype
+        fan_in = shape[-1] if len(shape) >= 2 else 1
+        if len(shape) == 3:   # stacked (L, out, in): fill layer-by-layer
+            stack = jnp.zeros(shape, dt)
+            for i in range(shape[0]):
+                key, sub = jax.random.split(key)
+                layer = (jax.random.normal(sub, shape[1:], jnp.float32)
+                         * fan_in ** -0.5).astype(dt)
+                stack = _fill_layer(stack, layer, i)
+            return stack
+        return (jax.random.normal(sub, shape, jnp.float32)
+                * fan_in ** -0.5).astype(dt)
+
+    return jax.tree_util.tree_map_with_path(build, tiny_like)
+
+
+# -- level 1: per-tensor reconstruction ---------------------------------
+
+
+def recon_errors(host_params, bits: int, group_size: int) -> dict:
+    """name -> (mean, max) relative RMS reconstruction error over the
+    layer stack (host numpy; no device residency)."""
+    from valley_tpu.ops.quant import QUANT_TARGETS
+
+    qmax = 127.0 if bits == 8 else 7.0
+    out = {}
+    layers = host_params["llama"]["layers"]
+    for name in QUANT_TARGETS:
+        if name not in layers:
+            continue
+        w = np.asarray(layers[name], np.float32)   # (L, out, in)
+        if group_size and w.shape[-1] % group_size == 0:
+            wg = w.reshape(w.shape[:-1] + (-1, group_size))
+            amax = np.abs(wg).max(-1, keepdims=True)
+            scale = np.where(amax > 0, amax / qmax, 1.0)
+            deq = np.clip(np.round(wg / scale), -qmax, qmax) * scale
+            deq = deq.reshape(w.shape)
+        else:
+            amax = np.abs(w).max(-1, keepdims=True)
+            scale = np.where(amax > 0, amax / qmax, 1.0)
+            deq = np.clip(np.round(w / scale), -qmax, qmax) * scale
+        num = np.sqrt(((w - deq) ** 2).mean(axis=(-1, -2)))
+        den = np.sqrt((w ** 2).mean(axis=(-1, -2))) + 1e-30
+        rel = num / den
+        out[name] = (float(rel.mean()), float(rel.max()))
+    return out
+
+
+# -- levels 2+3: end-to-end ----------------------------------------------
+
+
+def _prompts(cfg, tokens, frames):
+    """Deterministic prompt battery: text-only + one video prompt."""
+    rng = np.random.default_rng(7)
+    p = cfg.num_patches
+    tok = cfg.tokens
+    span = [tok.im_start] + [tok.im_patch] * p + [tok.im_end] + \
+        [tok.vi_start] + [tok.vi_frame] * frames + [tok.vi_end]
+    text = rng.integers(5, min(1000, cfg.text.vocab_size - 10),
+                        size=48).tolist()
+    video = [1] + span + rng.integers(
+        5, min(1000, cfg.text.vocab_size - 10), size=16).tolist()
+    pixels = rng.standard_normal(
+        (1, frames, 3, cfg.vision.image_size,
+         cfg.vision.image_size)).astype(np.float32) * 0.5
+    return [(text, None), (video, pixels)]
+
+
+def e2e_capture(cfg, host_params, mode: str, prompts, new_tokens: int,
+                use_flash: bool):
+    """Run the prompt battery through forward logits + engine greedy
+    decode under one quantization mode.  Returns (logits list, token
+    lists).  Builds and frees its own device tree."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from valley_tpu.inference import Engine, GenerationConfig
+    from valley_tpu.models import valley
+    from valley_tpu.ops.quant import quantize_llama_params
+
+    params = jax.tree.map(jnp.asarray, host_params)
+    decode_w4 = False
+    if mode == "int8":
+        params = quantize_llama_params(params, bits=8)
+    elif mode == "int4":
+        params = quantize_llama_params(params, bits=4)
+        decode_w4 = True
+    elif mode.startswith("int4g"):
+        params = quantize_llama_params(params, bits=4,
+                                       group_size=int(mode[5:]))
+    elif mode != "bf16":
+        raise ValueError(mode)
+
+    logits_out, tokens_out = [], []
+    for ids, pixels in prompts:
+        arr = jnp.asarray([ids])
+        px = None if pixels is None else jnp.asarray(pixels)
+        lg = valley.forward(params, cfg, arr, px, use_flash=False)
+        logits_out.append(np.asarray(lg[0], np.float32))
+
+    bucket = 1 << (max(len(i) for i, _ in prompts) - 1).bit_length()
+    eng = Engine(cfg, params, buckets=(max(bucket, 64),),
+                 max_new_tokens=new_tokens,
+                 cache_dtype=jnp.bfloat16, use_flash=use_flash,
+                 decode_w4=decode_w4)
+    gen = GenerationConfig(max_new_tokens=new_tokens, do_sample=False)
+    for ids, pixels in prompts:
+        toks = [int(t[0]) for t in
+                eng.generate_tokens([ids], images=pixels, gen=gen,
+                                    eos_ids=[-1])]
+        tokens_out.append(toks)
+    del eng, params
+    gc.collect()
+    return logits_out, tokens_out
+
+
+def drift_stats(base_logits, base_tokens, logits, tokens):
+    """Logit drift + generation divergence vs the bf16 capture."""
+    maxd = meand = 0.0
+    top1_num = top1_den = 0
+    for a, b in zip(base_logits, logits):
+        d = np.abs(a - b)
+        scale = float(a.std()) + 1e-30
+        maxd = max(maxd, float(d.max()) / scale)
+        meand = max(meand, float(d.mean()) / scale)
+        top1_num += int((a.argmax(-1) == b.argmax(-1)).sum())
+        top1_den += a.shape[0]
+    prefix = []
+    for a, b in zip(base_tokens, tokens):
+        n = next((i for i, (x, y) in enumerate(zip(a, b)) if x != y),
+                 len(a))
+        prefix.append(n / max(1, len(a)))
+    return {"logit_max_rel": round(maxd, 5),
+            "logit_mean_rel": round(meand, 6),
+            "top1_agree": round(top1_num / max(1, top1_den), 4),
+            "greedy_prefix_frac": round(float(np.mean(prefix)), 3)}
+
+
+DEFAULT_GATES = {   # mode -> (max mean recon error, min top1 agreement)
+    "int8": (0.010, 0.99),
+    "int4": (0.120, 0.90),
+    "int4g": (0.040, 0.97),
+}
+
+
+def gate_for(mode: str, args):
+    base = DEFAULT_GATES["int4g" if mode.startswith("int4g") else mode]
+    return (args.max_recon if args.max_recon is not None else base[0],
+            args.min_top1 if args.min_top1 is not None else base[1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="random:tiny",
+                    help="random:tiny | random:7b | HF checkpoint dir")
+    ap.add_argument("--modes", default="int8,int4,int4g128")
+    ap.add_argument("--new-tokens", type=int, default=24)
+    ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--max-recon", type=float, default=None)
+    ap.add_argument("--min-top1", type=float, default=None)
+    ap.add_argument("--flash", action="store_true",
+                    help="flash-attention engine (on-chip runs)")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    cfg, host = build_params(args.model, jnp.bfloat16)
+    log(f"params ready ({args.model}) in {time.time()-t0:.0f}s")
+
+    prompts = _prompts(cfg, None, args.frames)
+    base_logits, base_tokens = e2e_capture(cfg, host, "bf16", prompts,
+                                           args.new_tokens, args.flash)
+    log("bf16 reference captured")
+
+    report = {"model": args.model, "modes": {}}
+    all_pass = True
+    for mode in args.modes.split(","):
+        mode = mode.strip()
+        bits = 8 if mode == "int8" else 4
+        gsize = int(mode[5:]) if mode.startswith("int4g") else 0
+        if gsize:
+            k = host["llama"]["layers"]["w_down"].shape[-1]
+            if k % gsize:
+                log(f"{mode}: group size {gsize} does not divide "
+                    f"K={k} — grouped quantization falls back to "
+                    f"per-channel (same as quantize_llama_params); "
+                    f"pick a divisor of the hidden/intermediate dims")
+        rec = recon_errors(host, bits, gsize)
+        worst = max(v[0] for v in rec.values())
+        logits, tokens = e2e_capture(cfg, host, mode, prompts,
+                                     args.new_tokens, args.flash)
+        stats = drift_stats(base_logits, base_tokens, logits, tokens)
+        max_recon, min_top1 = gate_for(mode, args)
+        ok = worst <= max_recon and stats["top1_agree"] >= min_top1
+        all_pass &= ok
+        report["modes"][mode] = {
+            "recon_mean_worst_tensor": round(worst, 5),
+            "recon_by_tensor": {k: [round(v[0], 5), round(v[1], 5)]
+                                for k, v in rec.items()},
+            **stats,
+            "gate": {"max_recon": max_recon, "min_top1": min_top1},
+            "verdict": "PASS" if ok else "FAIL",
+        }
+        log(f"{mode:9s} recon(worst mean)={worst:.4f} "
+            f"top1={stats['top1_agree']:.3f} "
+            f"logit_max_rel={stats['logit_max_rel']:.4f} "
+            f"prefix={stats['greedy_prefix_frac']:.2f} "
+            f"-> {'PASS' if ok else 'FAIL'}")
+    report["all_pass"] = all_pass
+    print(json.dumps(report))
+    return 0 if all_pass else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
