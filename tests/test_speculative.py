@@ -322,3 +322,115 @@ def test_spec_decoders_share_executable_and_telemetry(cfg, params):
     d3 = SpecDecoder(engine, SpecConfig(draft_len=4))
     assert d3._rounds is not d1._rounds
     assert d3.total_rounds == 0
+
+
+# -- acceptance-adaptive control (VERDICT r3 item 3) ---------------------
+
+
+def test_adaptive_forced_disable_token_identical(cfg, params):
+    """A reply whose acceptance trips the disable threshold finishes on
+    the plain fused decode — output must stay token-identical to plain
+    greedy, and the disable is counted in shared telemetry."""
+    eng = Engine(cfg, params, buckets=(128,), max_new_tokens=24,
+                 steps_per_call=4)
+    # disable_below=10 makes every probe fail its acceptance check
+    sp = SpecConfig(draft_len=4, rounds_per_call=3, probe_rounds=1,
+                    adaptive=True, disable_below=10.0)
+    dec = SpecDecoder(eng, sp)
+    gen = GenerationConfig(max_new_tokens=24, do_sample=False)
+    base = dec._shared["disabled"]
+    for prompt in _prompts(cfg):
+        ref = [int(t[0]) for t in eng.generate_tokens(
+            [prompt], None, gen, eos_ids=[-1])]
+        got = list(dec.generate_tokens(prompt, None, gen, eos_ids=[-1]))
+        assert got == ref, (got, ref)
+    assert dec._shared["disabled"] - base == len(_prompts(cfg))
+
+
+def test_adaptive_never_disables_when_threshold_zero(cfg, params):
+    """disable_below=0 keeps speculation on for the whole reply."""
+    eng = Engine(cfg, params, buckets=(128,), max_new_tokens=16,
+                 steps_per_call=4)
+    sp = SpecConfig(draft_len=4, rounds_per_call=3, probe_rounds=1,
+                    adaptive=True, disable_below=0.0)
+    dec = SpecDecoder(eng, sp)
+    gen = GenerationConfig(max_new_tokens=16, do_sample=False)
+    base = dec._shared["disabled"]
+    got = list(dec.generate_tokens(_prompts(cfg)[2], None, gen,
+                                   eos_ids=[-1]))
+    assert len(got) == 16
+    assert dec._shared["disabled"] == base
+
+
+def test_adaptive_session_fallback_token_identical(cfg, params):
+    """SpecChatSession turns that disable mid-turn splice onto the base
+    plain loop with KV-slot continuity: multi-turn replies equal the
+    plain ChatSession's, and the stream callback sees each token once."""
+    from valley_tpu.inference import ChatSession, SpecChatSession
+
+    gen = GenerationConfig(max_new_tokens=12, do_sample=False)
+    turns = [[7, 8, 9, 7, 8, 9, 7, 8], list(range(30, 42)), [7, 8, 9]]
+    outs, streams = [], []
+    for cls in (ChatSession, SpecChatSession):
+        eng = Engine(cfg, params, buckets=(128,), max_new_tokens=12,
+                     steps_per_call=4)
+        kw = {}
+        if cls is SpecChatSession:
+            kw["spec"] = SpecConfig(draft_len=4, rounds_per_call=3,
+                                    probe_rounds=1, adaptive=True,
+                                    disable_below=10.0)
+        sess = cls(eng, gen, **kw)
+        replies, seen = [], []
+        for t in turns:
+            replies.append(sess.chat(t, eos_ids=[-1],
+                                     on_token=seen.append))
+        outs.append(replies)
+        streams.append(seen)
+    assert outs[0] == outs[1], outs
+    # every token streamed exactly once across the spec->plain splice
+    assert streams[0] == streams[1]
+
+
+def test_adaptive_sampled_reply_runs(cfg, params):
+    """Sampled replies switch paths too (distribution-exact on both
+    sides); smoke: correct count, plausible tokens."""
+    eng = Engine(cfg, params, buckets=(128,), max_new_tokens=16,
+                 steps_per_call=4)
+    sp = SpecConfig(draft_len=4, rounds_per_call=3, probe_rounds=1,
+                    adaptive=True, disable_below=10.0)
+    dec = SpecDecoder(eng, sp)
+    gen = GenerationConfig(max_new_tokens=16, do_sample=True,
+                           temperature=0.8, seed=5)
+    got = list(dec.generate_tokens(_prompts(cfg)[2], None, gen,
+                                   eos_ids=[-1]))
+    assert len(got) == 16
+    assert all(0 <= t < cfg.text.vocab_size for t in got)
+
+
+def test_adaptive_pool_pauses_and_reprobes(cfg, params):
+    """ContinuousEngine(speculative=True) pauses pool-wide when the
+    acceptance EMA is below break-even, keeps emitting token-identical
+    output through plain chunks, and re-probes after reprobe_chunks."""
+    from valley_tpu.inference.continuous import ContinuousEngine, _drain
+
+    eng = Engine(cfg, params, buckets=(64,), max_new_tokens=16,
+                 cache_dtype=jnp.float32, use_flash=False,
+                 steps_per_call=4)
+    sp = SpecConfig(draft_len=2, rounds_per_call=2, adaptive=True,
+                    disable_below=10.0, reprobe_chunks=2)
+    pool = ContinuousEngine(eng, rows=2, speculative=True, spec=sp,
+                            decode_ramp=())
+    gen = GenerationConfig(max_new_tokens=12, do_sample=False)
+    prompts = [_prompts(cfg)[1][:24], _prompts(cfg)[2][:24]]
+    refs = [[int(t[0]) for t in eng.generate_tokens([p], None, gen,
+                                                    eos_ids=[-1])]
+            for p in prompts]
+    outs = [list(_drain(pool.submit(p, max_new_tokens=12, eos_id=-1)))
+            for p in prompts]
+    assert outs == refs, (outs, refs)
+    assert pool.spec_disables >= 1
+    assert pool.spec_rounds > 0
+    # after enough plain chunks the controller re-probes (spec_live was
+    # reset by the countdown at least once during the run, or is paused
+    # right now awaiting one)
+    assert pool._plain_left <= sp.reprobe_chunks

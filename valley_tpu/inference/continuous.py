@@ -112,6 +112,21 @@ class ContinuousEngine:
 
             self._spec = spec or SpecConfig()
             self.hist_max = self.smax + self._spec.draft_len + 1
+        # Pool-wide acceptance-adaptive control (SpecConfig.adaptive):
+        # verification rounds cost ~1.44x a plain step, so when the
+        # pool's acceptance EMA falls below break-even the loop decodes
+        # plain chunks instead, re-probing with one speculative chunk
+        # every ``reprobe_chunks`` (traffic mixes change).  Plain chunks
+        # keep each row's draft history appended so a re-probe measures
+        # honest acceptance.  Greedy rows stay token-identical and
+        # sampled rows distribution-exact across switches.
+        self._spec_live = True
+        self._plain_left = 0
+        self._acc_ema: Optional[float] = None
+        self._warming = False
+        self.spec_rounds = 0       # pool telemetry (worker status)
+        self.spec_emitted = 0
+        self.spec_disables = 0
 
         self._active: List[Optional[_Request]] = [None] * rows
         # warmup-only escape hatch: sizes queued here override the ramp
@@ -128,6 +143,8 @@ class ContinuousEngine:
         self._insert = jax.jit(self._insert_impl,
                                donate_argnames=("cache", "valid"))
         self._insert_hist = jax.jit(self._insert_hist_impl,
+                                    donate_argnames=("hist",))
+        self._append_hist = jax.jit(self._append_hist_impl,
                                     donate_argnames=("hist",))
 
         # admission buckets: engine prefill buckets that fit in the pool —
@@ -337,6 +354,20 @@ class ContinuousEngine:
             hist_len, (row_len + 1)[None], (b,))
         return hist, hist_len
 
+    def _append_hist_impl(self, hist, hist_len, toks):
+        """Append a plain-decoded chunk's tokens (``toks``: (steps,
+        rows)) to every row's draft history — adaptive plain mode keeps
+        the lookup table fresh so a speculative re-probe measures honest
+        acceptance.  Rows that finished mid-chunk are overwritten at
+        their next admission (`_insert_hist`); near the very end of a
+        row's capacity the update clamps (drafting quality only — every
+        draft is verified)."""
+        def row(h, hl, t):
+            return jax.lax.dynamic_update_slice(h, t, (hl,))
+
+        hist = jax.vmap(row)(hist, hist_len, toks.T.astype(jnp.int32))
+        return hist, hist_len + jnp.int32(toks.shape[0])
+
     # -- public API --------------------------------------------------------
 
     def submit(self, input_ids, images=None, temperature: float = 0.0,
@@ -371,6 +402,18 @@ class ContinuousEngine:
         admission prefills are per-frame-geometry executables, so a
         worker serving mixed image/video traffic through the pool warms
         every frame bucket (pass ``engine.frame_buckets``)."""
+        self._warming = True   # adaptive controller must not flip modes
+        try:
+            self._warmup_body(frames)
+        finally:
+            self._warming = False
+            self._spec_live = True
+            self._plain_left = 0
+            self._acc_ema = None
+            self.spec_rounds = self.spec_emitted = 0
+            self.spec_disables = 0
+
+    def _warmup_body(self, frames) -> None:
         frame_list = ((frames,) if isinstance(frames, int) else
                       tuple(frames)) or (0,)
         if 0 not in frame_list:
@@ -442,6 +485,17 @@ class ContinuousEngine:
             self._force_chunks = list(sizes)
             outq = self.submit(list(range(2, 2 + self._admission_buckets[0])),
                                max_new_tokens=budget, eos_id=-1,
+                               temperature=0.0)
+            for _ in _drain(outq):
+                pass
+            # compile the adaptive controller's PLAIN fallback too (the
+            # pool's _decode at every scheduled size + the hist-append)
+            # so the first low-acceptance pause doesn't stall cold
+            self._spec_live = False
+            self._plain_left = 1 << 30
+            self._force_chunks = list(sizes)
+            outq = self.submit(list(range(2, 2 + self._admission_buckets[0])),
+                               max_new_tokens=sum(sizes) + 2, eos_id=-1,
                                temperature=0.0)
             for _ in _drain(outq):
                 pass
@@ -757,8 +811,19 @@ class ContinuousEngine:
                 self._key, sub = jax.random.split(self._key)
             counts_np = None
             n_steps = self._next_chunk()
+            use_spec = self._spec is not None
+            if use_spec and not self._spec_live:
+                # adaptive plain mode: decode plain chunks until the
+                # re-probe countdown expires (the re-probe itself is the
+                # next chunk's speculative call)
+                use_spec = False
+                self._plain_left -= 1
+                if self._plain_left <= 0:
+                    self._spec_live = True
+            active_mask = [self._active[b] is not None
+                           for b in range(self.rows)]
             try:
-                if self._spec is None:
+                if not use_spec:
                     toks, self._cache, self._valid, self._token, \
                         self._slot, self._seq = self._decode(
                             self.engine.params, self._cache, self._valid,
@@ -766,6 +831,10 @@ class ContinuousEngine:
                             jnp.asarray(self._temps),
                             jnp.asarray(self._top_ps),
                             n_steps=n_steps)
+                    if self._spec is not None:
+                        # keep draft histories fresh for the re-probe
+                        self._hist, self._hist_len = self._append_hist(
+                            self._hist, self._hist_len, toks)
                 else:
                     (toks, counts, self._cache, self._valid, self._token,
                      self._slot, self._seq, self._hist,
@@ -786,6 +855,31 @@ class ContinuousEngine:
                 # donated cache/valid buffers may be invalid now
                 self._reset_pool()
                 continue
+            if counts_np is not None:
+                # pool acceptance telemetry + adaptive decision, over
+                # rows that were active when the chunk launched
+                act = [b for b in range(self.rows) if active_mask[b]]
+                if act:
+                    acc = float(np.mean(counts_np[:, act] - 1))
+                    self.spec_rounds += counts_np.shape[0] * len(act)
+                    self.spec_emitted += int(counts_np[:, act].sum())
+                    if self._acc_ema is None:
+                        self._acc_ema = acc
+                    else:
+                        self._acc_ema += 0.2 * (acc - self._acc_ema)
+                    if self._spec.adaptive and not self._warming and \
+                            self._acc_ema < self._spec.disable_below:
+                        self._spec_live = False
+                        self._plain_left = self._spec.reprobe_chunks
+                        self.spec_disables += 1
+                        logger.info(
+                            "pool speculation paused (acceptance EMA "
+                            "%.2f < %.2f); re-probe in %d chunks",
+                            self._acc_ema, self._spec.disable_below,
+                            self._plain_left)
+                        # the probe chunk must re-measure fresh traffic,
+                        # not inherit the low EMA that paused it
+                        self._acc_ema = None
             toks_np = np.asarray(toks)   # (steps, rows) | (steps, rows, D+1)
             for step in range(toks_np.shape[0]):
                 for b in range(self.rows):

@@ -139,6 +139,23 @@ class SpecConfig:
     ngram: int = 4            # MAX match length (tried deepest-first)
     rounds_per_call: int = 16  # fused rounds per device call
 
+    # Acceptance-adaptive control: a verification round costs ~1.44x a
+    # plain decode step (tools/exp_spec_7b.py), so speculation LOSES
+    # whenever accepted drafts/round stay below ~0.44 (fully-novel text
+    # measures ~0.30 — about 10% slower than plain decode).  Each reply
+    # starts with one short ``probe_rounds`` call; afterwards, whenever
+    # the reply's cumulative acceptance drops below ``disable_below``
+    # the decoder falls back to plain fused decode for the REST of the
+    # reply (greedy output is token-identical either way; sampling is
+    # distribution-exact either way, so switching is free).  Worst-case
+    # novel-text overhead drops from ~10% to the probe cost (~2% of a
+    # 96-token reply).  Sessions re-probe each turn (conversation
+    # acceptance patterns change turn to turn).
+    adaptive: bool = True
+    disable_below: float = 0.40   # accepted drafts/round; break-even .44
+    probe_rounds: int = 4         # first-call round count per reply
+    reprobe_chunks: int = 32      # pool: plain chunks between re-probes
+
 
 class SpecDecoder:
     """Wraps an Engine with speculative generation (B=1; greedy is
@@ -162,21 +179,24 @@ class SpecDecoder:
             st = shared.get(key)
             if st is None:
                 st = shared[key] = {
-                    "rounds": 0, "emitted": 0,
+                    "rounds": 0, "emitted": 0, "disabled": 0,
                     "jit": jax.jit(
                         self._rounds_impl,
                         static_argnames=("n_rounds", "do_sample"),
                         donate_argnames=("cache", "valid", "hist")),
                 }
+            st.setdefault("disabled", 0)   # records from older configs
         self._shared = st
         self._rounds = st["jit"]
 
-    def _count(self, rounds: int = 0, emitted: int = 0) -> None:
+    def _count(self, rounds: int = 0, emitted: int = 0,
+               disabled: int = 0) -> None:
         """Lock-protected telemetry increment (request threads race the
         read-modify-write otherwise)."""
         with _SHARED_LOCK:
             self._shared["rounds"] += rounds
             self._shared["emitted"] += emitted
+            self._shared["disabled"] += disabled
 
     # monotonic acceptance telemetry (across all decoders on this
     # engine+config): emitted = accepted drafts + 1 correction per
@@ -310,9 +330,39 @@ class SpecDecoder:
             return
         tok_dev = tok
 
+        spec_on = True
+        tot_rounds = tot_accept = 0
         while emitted < max_new:
-            # worst case one token per round
-            n_rounds = min(spec.rounds_per_call, max_new - emitted)
+            if not spec_on:
+                # acceptance fell below break-even: plain fused decode
+                # for the rest of the reply (greedy token-identical,
+                # sampling distribution-exact — switching is free).
+                # Always the steady steps_per_call class (ONE executable;
+                # surplus steps past max_new are discarded) — the spec
+                # cache's rounds*(D+1) slack covers the overshoot, except
+                # on deliberately tiny test configs where it clamps.
+                n_steps = max(1, min(eng.steps_per_call,
+                                     cache_len - slot_h))
+                key, sub = jax.random.split(key)
+                toks, cache, valid, seq_arr = eng._decode(
+                    eng.params, cache, valid, tok_dev, jnp.int32(slot_h),
+                    seq_arr, sub, gen.temperature, gen.top_p,
+                    do_sample=do_sample, n_steps=n_steps)
+                slot_h += n_steps
+                tok_dev = toks[-1]
+                for t in np.asarray(toks)[:, 0]:
+                    yield int(t)
+                    emitted += 1
+                    if int(t) in eos or emitted >= max_new:
+                        return
+                continue
+            # fixed {probe, steady} round classes — ``n_rounds`` is a
+            # static executable arg, so remainder-sized calls would each
+            # compile a one-off executable mid-traffic; instead the
+            # final call may overshoot (cache/hist slack covers a full
+            # call) and surplus emissions simply aren't yielded
+            n_rounds = min(spec.probe_rounds, spec.rounds_per_call) \
+                if tot_rounds == 0 else spec.rounds_per_call
             key, sub = jax.random.split(key)
             cache, valid, hist, hist_len, tok_dev, seq, slot, toks, \
                 counts = self._rounds(
@@ -323,11 +373,19 @@ class SpecDecoder:
             counts_np = np.asarray(counts)      # (R,)
             for r in range(toks_np.shape[0]):
                 self._count(rounds=1, emitted=int(counts_np[r]))
+                tot_rounds += 1
+                tot_accept += int(counts_np[r]) - 1
                 for t in toks_np[r, :counts_np[r]]:
                     yield int(t)
                     emitted += 1
                     if int(t) in eos or emitted >= max_new:
                         return
+            if spec.adaptive and \
+                    tot_accept / max(1, tot_rounds) < spec.disable_below:
+                spec_on = False
+                self._count(disabled=1)
+                slot_h = int(np.asarray(slot))
+                seq_arr = jnp.reshape(seq, (1,))
 
 
     def generate(self, tokenizer, input_ids: Sequence[int],
@@ -414,8 +472,14 @@ class SpecChatSession(ChatSession):
         seq = jnp.int32(seq_host)
         slot_dev = jnp.int32(slot)
         do_sample = bool(gen.do_sample) and gen.temperature >= 1e-4
+        tot_rounds = tot_accept = 0
         while len(tokens) < max_new and not stopped:
-            n_rounds = min(spec.rounds_per_call, max_new - len(tokens))
+            # {probe, steady} round classes per turn (n_rounds is a
+            # static executable arg — remainder-sized calls would
+            # compile one-off executables; the slack sized above covers
+            # a full overshooting final call)
+            n_rounds = min(spec.probe_rounds, spec.rounds_per_call) \
+                if tot_rounds == 0 else spec.rounds_per_call
             self._key, sub = jax.random.split(self._key)
             (cache, valid, hist_dev, hist_len, tok_dev, seq, slot_dev,
              toks, counts) = self._decoder._rounds(
@@ -427,6 +491,8 @@ class SpecChatSession(ChatSession):
             for r in range(toks_np.shape[0]):
                 self._decoder._count(rounds=1,
                                      emitted=int(counts_np[r]))
+                tot_rounds += 1
+                tot_accept += int(counts_np[r]) - 1
                 for t in toks_np[r, :counts_np[r]]:
                     tokens.append(int(t))
                     if on_token:
@@ -437,6 +503,34 @@ class SpecChatSession(ChatSession):
                 if stopped or len(tokens) >= max_new:
                     del tokens[max_new:]
                     break
+            if spec.adaptive and not stopped and len(tokens) < max_new \
+                    and tot_accept / max(1, tot_rounds) \
+                    < spec.disable_below:
+                # this turn's acceptance is below break-even: finish the
+                # turn with the base class's plain fused decode (token-
+                # identical greedy / distribution-exact sampled).  The
+                # base loop treats its ``tok`` as the first emitted
+                # token, so hand it the pending token and splice: its
+                # tokens[0] duplicates our tokens[-1] (skip re-streaming
+                # it), and KV-slot contiguity is preserved because the
+                # pending token's slot is written when fed back either
+                # way.
+                self._decoder._count(disabled=1)
+                skip_first = [True]
+
+                def tail_cb(t):
+                    if skip_first[0]:
+                        skip_first[0] = False
+                    elif on_token:
+                        on_token(t)
+
+                sub_toks, cache, valid, end_slot = \
+                    ChatSession._decode_loop(
+                        self, cache, valid, tok_dev,
+                        int(np.asarray(seq)), int(np.asarray(slot_dev)),
+                        max_new - len(tokens) + 1, eos_arr, tokenizer,
+                        tail_cb)
+                return (tokens[:-1] + sub_toks, cache, valid, end_slot)
             if not stopped and tokenizer is not None and gen.stop:
                 # windowed: decode this call's emissions plus a straddle
                 # overlap, not the whole reply (see engine.find_stop_index)

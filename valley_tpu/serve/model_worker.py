@@ -66,7 +66,8 @@ class ModelWorker:
                  frame_mode: str = "fixed",
                  prefix_cache: int = 0,
                  admit_batch: int = 4,
-                 hbm_budget_gb: Optional[float] = None):
+                 hbm_budget_gb: Optional[float] = None,
+                 context_len: Optional[int] = None):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = str(uuid.uuid4())[:6]
@@ -76,7 +77,11 @@ class ModelWorker:
         self.num_frames = num_frames
         self.frame_mode = frame_mode
         self.stream_interval = stream_interval
-        self.context_len = getattr(tokenizer, "model_max_length", 2048)
+        # prompt clamp (reference parity: `model_worker.py:92` caps at the
+        # model's 2048).  --context-len overrides for long-context
+        # engines (a 4096 bucket + rope_scaling / a 4096-native LLaMA-2)
+        self.context_len = context_len or getattr(
+            tokenizer, "model_max_length", 2048)
         self._semaphore = threading.Semaphore(limit_model_concurrency)
         self._limit = limit_model_concurrency
         self._active = 0
@@ -236,7 +241,8 @@ class ModelWorker:
         bucket; session warm uses the 512-quantized extra_slots class
         that requests with max_new_tokens <= 128 share."""
         eng = self.engine
-        if self.prefix_cache_size <= 0 and self.max_sessions <= 0:
+        if self.prefix_cache_size <= 0 and self.max_sessions <= 0 \
+                and self.spec_decoder is None:
             return
         from valley_tpu.inference.engine import (ChatSession,
                                                  GenerationConfig,
@@ -292,6 +298,47 @@ class ModelWorker:
                 sess.chat([5, 6], tokenizer=self.tokenizer, eos_ids=[-1])
                 sess.chat([7, 8], tokenizer=self.tokenizer, eos_ids=[-1])
             logger.info("warmed session path")
+        if self.max_sessions > 0 and self._speculative:
+            # the acceptance-adaptive controller finishes low-acceptance
+            # turns on the PLAIN session loop — compile it at the
+            # spec-session cache shapes by forcing a probe-then-disable
+            # turn (disable_below=10 guarantees the switch)
+            from valley_tpu.inference.speculative import (SpecChatSession,
+                                                          SpecConfig)
+
+            sp = SpecConfig(disable_below=10.0)
+            long_gens = tuple(
+                GenerationConfig(max_new_tokens=48,
+                                 do_sample=g.do_sample,
+                                 temperature=g.temperature) for g in gens)
+            for gen in long_gens:
+                sess = SpecChatSession(eng, gen, extra_slots=512, spec=sp)
+                sess.chat([5, 6], tokenizer=self.tokenizer, eos_ids=[-1])
+            logger.info("warmed adaptive session fallback")
+        if self.spec_decoder is not None:
+            # stateless speculative path: compile the probe + steady
+            # round executables (adaptive off so high acceptance can't
+            # skip steady) and the plain fallback (forced disable), in
+            # both sampling modes
+            sd = self.spec_decoder
+            saved = (sd.spec.adaptive, sd.spec.disable_below)
+            budget = 4 * (sd.spec.draft_len + 1) + 8
+            try:
+                for do_sample, temp in ((False, 0.0), (True, 0.7)):
+                    g = GenerationConfig(max_new_tokens=budget,
+                                         do_sample=do_sample,
+                                         temperature=temp)
+                    sd.spec.adaptive = False
+                    for _ in sd.generate_tokens(
+                            [5, 6], gen=g, eos_ids=[-1]):
+                        pass
+                    sd.spec.adaptive, sd.spec.disable_below = True, 10.0
+                    for _ in sd.generate_tokens(
+                            [5, 6], gen=g, eos_ids=[-1]):
+                        pass
+            finally:
+                sd.spec.adaptive, sd.spec.disable_below = saved
+            logger.info("warmed stateless speculative paths")
 
     def _hbm_make_room(self, deficit: int) -> int:
         """Budget eviction across caches: prefix fragments first (pure
@@ -334,6 +381,14 @@ class ModelWorker:
             stats["spec_rounds"] = sd.total_rounds
             stats["spec_accept_per_round"] = round(
                 sd.total_emitted / sd.total_rounds, 3)
+            stats["spec_disables"] = sd._shared.get("disabled", 0)
+        ce = self.continuous
+        if ce is not None and getattr(ce, "spec_rounds", 0):
+            stats["spec_rounds"] = ce.spec_rounds
+            stats["spec_accept_per_round"] = round(
+                ce.spec_emitted / ce.spec_rounds, 3)
+            stats["spec_pool_paused"] = not ce._spec_live
+            stats["spec_disables"] = ce.spec_disables
         if self.hbm is not None:
             stats["hbm"] = self.hbm.snapshot()
             if self.session_refusals:
@@ -990,6 +1045,11 @@ def main():
                              "self-speculation (greedy token-identical, "
                              "sampling distribution-exact; "
                              "speeds up extractive/repetitive replies)")
+    parser.add_argument("--context-len", type=int, default=None,
+                        help="prompt-clamp override for long-context "
+                             "serving (e.g. 4096 with --buckets "
+                             "...,4096; pair with config rope_scaling "
+                             "for 2048-trained checkpoints)")
     parser.add_argument("--hbm-budget", type=float, default=None,
                         help="serving-wide HBM budget in GiB governing "
                              "weights + pool + sessions + prefix caches "
@@ -1019,7 +1079,8 @@ def main():
                          frame_mode=args.frame_mode,
                          prefix_cache=args.prefix_cache,
                          admit_batch=args.admit_batch,
-                         hbm_budget_gb=args.hbm_budget)
+                         hbm_budget_gb=args.hbm_budget,
+                         context_len=args.context_len)
     if args.warmup and worker.continuous is not None:
         # warm EVERY frame bucket through the pool: media admission
         # prefills are per-frame-geometry executables, and mixed
