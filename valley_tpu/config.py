@@ -59,6 +59,13 @@ class TextConfig:
     max_position_embeddings: int = 2048
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
+    # linear rope position interpolation (arXiv 2306.15595): divide
+    # positions by this factor to address rope_scaling x
+    # max_position_embeddings of context within the trained angle range
+    # (the SURVEY §5 long-context extension slot; quality at >1 assumes
+    # the usual brief PI fine-tune — train with the same value).  The
+    # reference is hard-capped at 2048 (`valley_stage1.yaml:49`).
+    rope_scaling: float = 1.0
 
     @property
     def head_dim(self) -> int:

@@ -530,7 +530,8 @@ def forward_hidden(params, cfg: TextConfig, inputs_embeds: jnp.ndarray,
         if cache is not None:
             base = base + cache_index
         positions = jnp.broadcast_to(base, (b, s))
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
+                            getattr(cfg, "rope_scaling", 1.0))
 
     use_lora_rng = lora_rng is not None and lora_dropout > 0.0
     xs = {"lp": params["layers"]}

@@ -12,15 +12,26 @@ import jax.numpy as jnp
 
 
 def rope_cos_sin(positions: jnp.ndarray, head_dim: int,
-                 theta: float = 10000.0) -> tuple[jnp.ndarray, jnp.ndarray]:
+                 theta: float = 10000.0, scaling: float = 1.0
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """cos/sin tables for integer ``positions`` (any shape), fp32.
 
     Returns arrays of shape ``positions.shape + (head_dim,)`` where the
     frequency vector is tiled twice along the last axis (HF layout).
+
+    ``scaling`` > 1 is linear position interpolation (Chen et al. 2023,
+    arXiv 2306.15595): positions are divided by the factor so a model
+    trained to ``max_position_embeddings`` addresses
+    ``scaling x`` longer contexts inside its trained angle range —
+    position 2k at scaling 2 lands exactly on trained position k.
+    Quality at >1 assumes the usual brief PI fine-tune.
     """
     inv_freq = 1.0 / (theta ** (
         jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
-    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., d/2)
+    pos = positions.astype(jnp.float32)
+    if scaling != 1.0:
+        pos = pos / jnp.float32(scaling)
+    angles = pos[..., None] * inv_freq                            # (..., d/2)
     angles = jnp.concatenate([angles, angles], axis=-1)           # (..., d)
     return jnp.cos(angles), jnp.sin(angles)
 

@@ -87,7 +87,8 @@ def load_yaml_config(path: str):
     tc = TrainConfig(**{k: v for k, v in raw.items() if k in tc_names})
     tc = dataclasses.replace(tc, learning_rate=float(tc.learning_rate))
     extra = {k: v for k, v in raw.items()
-             if k in ("model_max_length", "bf16", "fp16")}
+             if k in ("model_max_length", "bf16", "fp16",
+                      "rope_scaling")}
     return model_args, data_args, tc, extra
 
 
@@ -186,6 +187,13 @@ def train(conf_path: str) -> int:
 
     cfg, params, tokenizer = build_model_and_tokenizer(model_args, extra,
                                                        dtype)
+    rs = float(extra.get("rope_scaling", 1.0))
+    if rs != 1.0:
+        # linear rope position interpolation for long-context recipes
+        # (ops/rope.py); train and serve with the SAME factor
+        import dataclasses as _dc
+
+        cfg = cfg.replace(text=_dc.replace(cfg.text, rope_scaling=rs))
     if tc.lora:
         params = lora_lib.add_lora(params, jax.random.key(1), r=tc.lora_r,
                                    alpha=tc.lora_alpha, dtype=dtype)
