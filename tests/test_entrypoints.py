@@ -1,0 +1,133 @@
+"""Subprocess smoke tests for every user-facing entry point (VERDICT r3
+item 7 — these were previously "driven manually" per PARITY.md and could
+rot silently).  Each test launches the real console script the way a
+user would (`python -m ...` in a fresh interpreter, CPU jax) against the
+random:tiny config; the serve client runs against a live
+controller+worker stack.  Contrast: the reference's own
+`run_valley.py`/`test_message.py` are broken as shipped
+(`valley/inference/run_valley.py:20` imports a module that doesn't
+exist)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _run(argv, stdin: str = "", timeout: int = 420):
+    return subprocess.run(
+        [sys.executable, "-m"] + argv, input=stdin, text=True,
+        capture_output=True, env=_env(), cwd=REPO, timeout=timeout)
+
+
+@pytest.fixture(scope="module")
+def tiny_video(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path_factory.mktemp("epvid") / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                        (64, 48))
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        w.write(rng.integers(0, 255, (48, 64, 3), np.uint8))
+    w.release()
+    return path
+
+
+def test_run_valley_subprocess(tiny_video):
+    r = _run(["valley_tpu.inference.run_valley",
+              "--model-name", "random:tiny", "--video-file", tiny_video,
+              "--query", "what is happening?", "--num-frames", "2",
+              "--max-new-tokens", "4", "--temperature", "0"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Traceback" not in r.stderr
+    # a reply line printed (random-weight tokens may decode to an empty
+    # string, so assert the print happened, not its content)
+    assert r.stdout.endswith("\n"), repr(r.stdout)
+
+
+def test_run_valley_llamma_v2_subprocess(tiny_video):
+    r = _run(["valley_tpu.inference.run_valley_llamma_v2",
+              "--model-name", "random:tiny", "--video-file", tiny_video,
+              "--query", "describe", "--num-frames", "2",
+              "--max-new-tokens", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Traceback" not in r.stderr
+    assert r.stdout.endswith("\n"), repr(r.stdout)
+
+
+def test_run_valley_conv_scripted_stdin(tiny_video):
+    """The interactive REPL, driven by a script: one question, then
+    exit.  Asserts the assistant role prompt and a clean exit."""
+    r = _run(["valley_tpu.inference.run_valley_conv",
+              "--model-name", "random:tiny", "--video-file", tiny_video,
+              "--num-frames", "2", "--max-new-tokens", "4",
+              "--temperature", "0"],
+             stdin="what do you see\nexit\n")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Assistant:" in r.stdout, r.stdout   # v1 assistant role prompt
+
+
+def test_cli_scripted_stdin(tiny_video):
+    """serve/cli.py two-turn chat (multi-turn KV reuse path) via stdin."""
+    r = _run(["valley_tpu.serve.cli", "--model-path", "random:tiny",
+              "--video", tiny_video, "--num-frames", "2",
+              "--max-new-tokens", "4", "--temperature", "0",
+              "--buckets", "512"],
+             stdin="hello\nand again\n\n")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.count("Assistant:") >= 2, r.stdout
+    assert "exit..." in r.stdout
+
+
+def test_test_message_against_live_stack():
+    """serve/test_message.py (the reference's broken smoke client) runs
+    against a real controller + tiny worker over live HTTP."""
+    import jax
+    import jax.numpy as jnp
+
+    from valley_tpu import config as C
+    from valley_tpu.inference import Engine
+    from valley_tpu.models import valley
+    from valley_tpu.serve import controller as controller_mod
+    from valley_tpu.serve import model_worker as worker_mod
+    from valley_tpu.serve.model_worker import ModelWorker
+    from valley_tpu.serve.controller import Controller
+    from valley_tpu.tokenizer import ByteFallbackTokenizer
+
+    tk = ByteFallbackTokenizer()
+    cfg = C.valley_tiny().replace(tokens=tk.special_tokens())
+    params = valley.init_params(cfg, jax.random.key(0), jnp.float32)
+    eng = Engine(cfg, params, buckets=(128,), max_new_tokens=16,
+                 cache_dtype=jnp.float32, use_flash=False)
+    ctrl_app = controller_mod.build_app(Controller("shortest_queue"))
+    ctrl_port = ctrl_app.start()
+    ctrl_addr = f"http://localhost:{ctrl_port}"
+    worker = ModelWorker(ctrl_addr, "placeholder", "valley", eng, tk,
+                         no_register=True, num_frames=2)
+    w_app = worker_mod.build_app(worker)
+    w_port = w_app.start()
+    worker.worker_addr = f"http://localhost:{w_port}"
+    worker.register_to_controller()
+    try:
+        r = _run(["valley_tpu.serve.test_message",
+                  "--controller-address", ctrl_addr,
+                  "--model-name", "valley",
+                  "--max-new-tokens", "4",
+                  "--message", "ping"], timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "Models: ['valley']" in r.stdout, r.stdout
+        assert "worker_addr:" in r.stdout
+    finally:
+        ctrl_app.shutdown()
+        w_app.shutdown()
