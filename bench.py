@@ -56,9 +56,14 @@ HBM_ACH_GBPS = float(os.environ.get("VALLEY_HBM_ACHIEVABLE", 750.0))
 # the independent int8+bf16KV point to 0.3%.  The fixed term is
 # dtype-independent per-step overhead (attention small kernels, head,
 # per-layer glue) proven irreducible on this toolchain; "phys" in the
-# metric string is attainment vs this model.
+# metric string is attainment vs this model.  The round-4 fused
+# wqkv/w_gateup layout recovered 0.15 ms of the fixed term (GEMV-
+# boundary scheduling gap, tools/exp_decode_glue.py + exp_int8_ablate
+# "fused" mode) — the model's fixed term drops accordingly when the
+# benched layout is fused.
 FIT_BW_GBPS = 802.0
 FIT_FIXED_S = 1.63e-3
+FIT_FIXED_FUSED_S = 1.48e-3
 
 
 def param_bytes(tree) -> int:
@@ -91,6 +96,12 @@ def main():
     qmode = os.environ.get(
         "VALLEY_BENCH_QUANT", "int8" if size != "tiny" else "bf16")
     quant = qmode in ("int8", "int4", "int4g")
+    # fused wqkv/w_gateup serving layout (4 GEMVs/layer instead of 7):
+    # +1.3 tok/s on the int8 flagship (round 4 same-window A/B — the
+    # win is GEMV-boundary scheduling gap, tools/exp_decode_glue.py).
+    # VALLEY_BENCH_FUSED=0 restores the unfused layout.
+    fused = os.environ.get(
+        "VALLEY_BENCH_FUSED", "0" if size == "tiny" else "1") != "0"
     dtype = jnp.bfloat16
     if size == "tiny":
         params = valley.init_params(cfg, jax.random.key(0), dtype=dtype)
@@ -99,7 +110,8 @@ def main():
         # transients (random init of the stacked (L, H, F) fp32 tensors
         # would transiently need ~6 GB extra and OOM a 16 GB chip).
         shapes = jax.eval_shape(
-            lambda k: valley.init_params(cfg, k, dtype=dtype),
+            lambda k: valley.init_params(cfg, k, dtype=dtype,
+                                         fused=fused),
             jax.random.key(0))
         params = jax.tree.map(
             lambda s: jnp.full(s.shape, 0.008, s.dtype), shapes)
@@ -177,7 +189,8 @@ def main():
                     * (1 if cache_dtype == jnp.int8 else 2))
     streamed = llama_bytes - embed_bytes + kv_bytes_tok
     ach_tps = HBM_ACH_GBPS * 1e9 / streamed
-    model_tps = 1.0 / (streamed / (FIT_BW_GBPS * 1e9) + FIT_FIXED_S)
+    model_tps = 1.0 / (streamed / (FIT_BW_GBPS * 1e9)
+                       + (FIT_FIXED_FUSED_S if fused else FIT_FIXED_S))
     phys = (f", phys={best_tps / model_tps:.3f} of the "
             f"component-verified decode model") if size != "tiny" else ""
     wdtype = qmode if quant else "bf16"

@@ -187,10 +187,63 @@ def make_component(name: str, n_steps: int):
             return tok
         return jax.jit(fn), (jnp.zeros((1,), jnp.int32),)
 
+    if name == "composite":
+        # every glue op together in one scan (captures intra-glue
+        # interaction the isolated stages cannot)
+        from valley_tpu.models.llama import (_cache_write, _quantize_kv,
+                                             rms_norm)
+
+        ck = jnp.zeros((L, 1, SMAX, HKV, D), jnp.int8)
+        cv = jnp.zeros((L, 1, SMAX, HKV, D), jnp.int8)
+        kss = jnp.zeros((L, 1, SMAX, HKV), jnp.bfloat16)
+        vss = jnp.zeros((L, 1, SMAX, HKV), jnp.bfloat16)
+        table = jax.random.normal(key, (V, H), jnp.bfloat16)
+        logits0 = jax.random.normal(key, (1, V), jnp.float32)
+
+        def step(carry, i):
+            ck, cv, kss, vss, x, logits, k = carry
+            tok = jnp.argmax(logits, -1)            # sample
+            x = x + table[tok[0]][None] * 1e-6      # embed gather
+
+            def layer(c, li):
+                ck, cv, kss, vss, x = c
+                h = rms_norm(x, norm_w[0], 1e-6)
+                qh = h.reshape(1, 1, H // D, D)
+                kh = h[:, :HKV * D].reshape(1, 1, HKV, D)
+                pos = jnp.full((1, 1), i, jnp.int32)
+                cos, sin = rope_cos_sin(pos, D)
+                qh = apply_rope(qh, cos, sin)
+                kh = apply_rope(kh, cos, sin)
+                kq, ksc = _quantize_kv(kh)
+                vq, vsc = _quantize_kv(kh * 1.0001)
+                ck = _cache_write(ck, kq, li, i)
+                cv = _cache_write(cv, vq, li, i)
+                kss = _cache_write(kss, ksc, li, i)
+                vss = _cache_write(vss, vsc, li, i)
+                x = rms_norm(x + qh.reshape(1, H) * 1e-6, norm_w[0],
+                             1e-6)
+                return (ck, cv, kss, vss, x), None
+            (ck, cv, kss, vss, x), _ = jax.lax.scan(
+                layer, (ck, cv, kss, vss, x), jnp.arange(L))
+            x = rms_norm(x, norm_w[0], 1e-6)
+            k, sub = jax.random.split(k)
+            logits = logits + x[:, :1].astype(jnp.float32) * 1e-9
+            return (ck, cv, kss, vss, x, logits, k), None
+
+        def fn(ck, cv, kss, vss, x, logits):
+            (ck, cv, kss, vss, x, logits, _), _ = jax.lax.scan(
+                step, (ck, cv, kss, vss, x, logits, key),
+                jnp.arange(n_steps))
+            return logits
+
+        return jax.jit(fn, donate_argnums=(0, 1, 2, 3)), \
+            (ck, cv, kss, vss, x0, logits0)
+
     raise SystemExit(f"unknown component {name}")
 
 
-ALL = ("empty", "norms", "rope", "kvwrite", "sample", "embed")
+ALL = ("empty", "norms", "rope", "kvwrite", "sample", "embed",
+       "composite")
 
 
 def main():
@@ -200,7 +253,8 @@ def main():
     results = {}
     for name in names:
         fn, args = make_component(name, n)
-        per = timed(fn, args, n, copy_args=(name == "kvwrite"))
+        per = timed(fn, args, n,
+                    copy_args=(name in ("kvwrite", "composite")))
         results[name] = per * 1e3
         print(f"{name:8s} {per*1e6:8.1f} us/token", flush=True)
     if "empty" in results:

@@ -39,11 +39,12 @@ def sync(x):
     return np.asarray(jax.device_get(leaf)).ravel()[:1]
 
 
-def build_params(cfg, quantize=True):
+def build_params(cfg, quantize=True, fused=False):
     from valley_tpu.ops.quant import quantize_llama_params
 
     shapes = jax.eval_shape(
-        lambda k: valley.init_params(cfg, k, dtype=jnp.bfloat16),
+        lambda k: valley.init_params(cfg, k, dtype=jnp.bfloat16,
+                                     fused=fused),
         jax.random.key(0))
     params = jax.tree.map(lambda s: jnp.full(s.shape, 0.008, s.dtype),
                           shapes)
@@ -89,7 +90,14 @@ def main():
         L.decode_attention = lambda q, k, v, m, **kw: q
 
     quantize = mode != "nodequant"
-    params = build_params(cfg, quantize=quantize)
+    # mode "fused": 4 GEMVs/layer instead of 7 at int8 bytes — tests
+    # whether the ~0.9 ms/step GEMV-boundary scheduling gap
+    # (exp_decode_glue) shrinks with fewer kernel boundaries (bf16
+    # measured null in round 2; int8's relatively larger fixed share
+    # may differ).  Built directly in fused shape: a post-hoc
+    # fuse_llama_params concat transiently doubles the stacks (OOM).
+    params = build_params(cfg, quantize=quantize,
+                          fused=(mode == "fused"))
     kv = jnp.bfloat16 if mode in ("kvbf16", "nodequant") else jnp.int8
     eng = Engine(cfg, params, buckets=(512,), max_new_tokens=n,
                  cache_dtype=kv, steps_per_call=n)

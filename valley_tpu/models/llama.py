@@ -111,23 +111,38 @@ def init_params(cfg: TextConfig, key: jax.Array, dtype=jnp.bfloat16,
 def fuse_llama_params(params):
     """Concatenate wq/wk/wv -> wqkv and w_gate/w_up -> w_gateup along the
     out axis of the (L, out, in) storage: the decode step then runs 4
-    GEMVs per layer instead of 7 — fewer kernel launches and longer
-    contiguous weight streams on the critical single-stream path.
-    Numerically identical (each output row's dot is unchanged).
+    GEMVs per layer instead of 7 — fewer kernel boundaries on the
+    critical single-stream path.  Numerically identical (each output
+    row's dot is unchanged).  Measured +1.3 tok/s on the int8 7B
+    flagship (10.25 vs 10.41 ms/tok same-window, round 4 — the recovered
+    time is GEMV-boundary scheduling gap, see tools/exp_decode_glue.py;
+    at bf16 bytes the gap is a smaller share and measured null, round 2).
 
     Serving-only: do this BEFORE `add_lora` (adapters target the unfused
     names) and before int8 quantization (per-out-channel scales survive
     the concat unchanged).  Mutates and returns ``params``.
+
+    The concat is staged through HOST memory: a device-side concatenate
+    holds originals and result simultaneously (+6.4 GB at 7B bf16 —
+    OOMs a 16 GB chip already holding the full tree); staging frees each
+    device original as its host copy lands, then uploads the fused
+    stack (one-time load-path cost, seconds).
     """
+    import numpy as np
+
     layers = params["llama"]["layers"]
     if "wqkv" in layers:
         return params
     if any(k.endswith("_lora_a") for k in layers):
         raise ValueError("fuse before adding LoRA adapters")
-    layers["wqkv"] = jnp.concatenate(
-        [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], axis=1)
-    layers["w_gateup"] = jnp.concatenate(
-        [layers.pop("w_gate"), layers.pop("w_up")], axis=1)
+
+    def fuse(names, out):
+        host = [np.asarray(jax.device_get(layers.pop(n)))
+                for n in names]   # device original freed per-iteration
+        layers[out] = jnp.asarray(np.concatenate(host, axis=1))
+
+    fuse(("wq", "wk", "wv"), "wqkv")
+    fuse(("w_gate", "w_up"), "w_gateup")
     return params
 
 

@@ -915,6 +915,12 @@ def load_engine(args):
         tokenizer = ByteFallbackTokenizer()
         cfg = C.valley_tiny().replace(tokens=tokenizer.special_tokens())
         params = valley.init_params(cfg, jax.random.key(0), jnp.float32)
+    if getattr(args, "fused", False):
+        # 4 GEMVs/layer serving layout: +1.3 tok/s on the int8 7B
+        # flagship (round 4).  After any LoRA merge, before quantize.
+        from valley_tpu.models.llama import fuse_llama_params
+
+        params = fuse_llama_params(params)
     if getattr(args, "quantize", None) in ("int8", "int4"):
         from valley_tpu.ops.quant import quantize_llama_params
 
@@ -1045,6 +1051,14 @@ def main():
                              "self-speculation (greedy token-identical, "
                              "sampling distribution-exact; "
                              "speeds up extractive/repetitive replies)")
+    parser.add_argument("--fused", action="store_true",
+                        help="fused wqkv/w_gateup weight layout (4 "
+                             "GEMVs/layer instead of 7): +1.3 tok/s "
+                             "single-stream on the int8 7B flagship; "
+                             "token-identical (tests/test_fused.py). "
+                             "Incompatible with --lora-path only if "
+                             "adapters were exported against fused "
+                             "names (they never are)")
     parser.add_argument("--context-len", type=int, default=None,
                         help="prompt-clamp override for long-context "
                              "serving (e.g. 4096 with --buckets "
