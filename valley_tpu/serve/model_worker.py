@@ -1047,10 +1047,19 @@ def main():
                              "per-shard HBM proof in "
                              "tools/exp_13b_aot.py")
     parser.add_argument("--speculative", action="store_true",
-                        help="stateless requests decode via n-gram "
-                             "self-speculation (greedy token-identical, "
-                             "sampling distribution-exact; "
-                             "speeds up extractive/repetitive replies)")
+                        default=True,
+                        help="n-gram self-speculation (greedy "
+                             "token-identical, sampling "
+                             "distribution-exact).  DEFAULT-ON since the "
+                             "served-path measurement "
+                             "(tools/e2e_spec_accept.py): the "
+                             "acceptance-adaptive controller holds "
+                             "worst-case novel traffic at 1.03x plain "
+                             "decode while extractive replies reach "
+                             "3.7x.  --no-speculative restores plain "
+                             "decode")
+    parser.add_argument("--no-speculative", dest="speculative",
+                        action="store_false")
     parser.add_argument("--fused", action="store_true",
                         help="fused wqkv/w_gateup weight layout (4 "
                              "GEMVs/layer instead of 7): +1.3 tok/s "
