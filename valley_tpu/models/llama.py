@@ -180,17 +180,41 @@ def _proj(lp, name: str, x: jnp.ndarray, lora_rng=None,
         # inside fused decode executables (ops/quant.int4_decode_view).
         scale = lp[name + "_scale"]
         if scale.ndim == w.ndim:
-            # group-wise scales (out, K/group): grouped dequant-dot
-            # (quant.py `group_size`) — per-group partial sums scaled in
-            # fp32 then reduced
+            # group-wise scales (out, K/group): per-group partial sums
+            # scaled in fp32 then reduced (quant.py `group_size`)
             o, k = w.shape[-2:]
             g = scale.shape[-1]
-            wg = w.reshape(o, g, k // g).astype(x.dtype)
-            xg = x.reshape(x.shape[:-1] + (g, k // g))
-            part = jnp.einsum("...gi,ogi->...og", xg, wg,
-                              preferred_element_type=jnp.float32)
-            out = jnp.sum(part * scale.astype(jnp.float32),
-                          axis=-1).astype(x.dtype)
+            gs = k // g
+            b = 1
+            for d in x.shape[:-1]:
+                b *= d
+            if b * g <= 128:
+                # decode-shape fast path: ONE dense pass against a
+                # block-diagonal expansion of x.  The MXU computes up to
+                # 128 output columns per weight pass, so the b*g partial
+                # columns ride the SAME weight stream a plain GEMV pays;
+                # group scales become a tiny (o, b, g) elementwise+reduce
+                # instead of g separate dots.  Measured on v5e
+                # (tools/exp_int4_group.py): 827 GB/s int4-byte rate at
+                # b=1 vs 19 GB/s for the einsum below; the einsum wins
+                # once b*g exceeds one 128-wide MXU tile.
+                x2 = (x.reshape(b, g, gs, 1)
+                      * jnp.eye(g, dtype=x.dtype)[None, :, None, :])
+                x2 = jnp.moveaxis(x2.reshape(b, k, g), 0, 1)
+                p = jax.lax.dot_general(
+                    w.astype(x.dtype), x2.reshape(k, b * g),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).reshape(o, b, g)
+                y = jnp.sum(p * scale[:, None, :].astype(jnp.float32),
+                            axis=-1)                       # (o, b)
+                out = y.T.reshape(x.shape[:-1] + (o,)).astype(x.dtype)
+            else:
+                wg = w.reshape(o, g, gs).astype(x.dtype)
+                xg = x.reshape(x.shape[:-1] + (g, gs))
+                part = jnp.einsum("...gi,ogi->...og", xg, wg,
+                                  preferred_element_type=jnp.float32)
+                out = jnp.sum(part * scale.astype(jnp.float32),
+                              axis=-1).astype(x.dtype)
         else:
             out = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype),
                              preferred_element_type=jnp.float32)
