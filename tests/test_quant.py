@@ -236,3 +236,32 @@ def test_decode_w4_rejects_int8_range_params(cfg, params):
     with pytest.raises(ValueError, match="bits=8"):
         Engine(cfg, q8, buckets=(64,), max_new_tokens=8,
                cache_dtype=jnp.float32, use_flash=False, decode_w4=True)
+
+
+def test_grouped_proj_blockdiag_matches_einsum():
+    """`_proj`'s decode-shape block-diagonal GEMV (b*groups <= one MXU
+    tile) and its batched grouped-einsum path are the SAME function —
+    feed identical rows through both dispatch sides and compare."""
+    from valley_tpu.models.llama import _proj
+
+    k, o, group = 256, 96, 32           # g = 8 groups
+    g = k // group
+    w = jax.random.normal(jax.random.key(3), (o, k)) * \
+        (1.0 + jnp.arange(k) / 128.0)
+    q, scale = quantize_tensor(w, bits=4, group_size=group)
+    assert scale.shape == (o, g)
+    lp = {"p": q, "p_scale": scale}
+    x1 = jax.random.normal(jax.random.key(4), (1, k), jnp.float32)
+    b_big = 128 // g + 1                # smallest batch past the tile
+    xb = jnp.tile(x1, (b_big, 1))
+    y_fast = _proj(lp, "p", x1)         # b*g = 8  -> block-diag GEMV
+    y_ein = _proj(lp, "p", xb)          # b*g > 128 -> grouped einsum
+    np.testing.assert_allclose(np.asarray(y_fast[0]),
+                               np.asarray(y_ein[0]), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y_ein[0]),
+                               np.asarray(y_ein[-1]), rtol=0, atol=0)
+    # and both dequantize correctly: error bounded by the int4 gate
+    # threshold (tools/quant_report.py PASS: recon <= 12%)
+    ref = x1 @ w.T
+    rel = float(jnp.abs(y_fast[0] - ref[0]).max() / jnp.abs(ref).max())
+    assert rel < 0.12, rel

@@ -449,3 +449,28 @@ def test_cli_chat_loop_speculative_matches_plain(engine_and_tokenizer):
         outs.append(printed)
     assert outs[0] == outs[1], outs
     assert any("exit..." in line for line in outs[0])
+
+
+def test_load_engine_quantize_int4g():
+    """worker --quantize int4g loads group-128 scales (falling back to
+    per-tensor-size groups on tiny dims), enables the w4 decode view,
+    and generates."""
+    import argparse
+
+    from valley_tpu.serve.model_worker import load_engine
+
+    args = argparse.Namespace(model_path="random:tiny", vision_tower=None,
+                              lora_path=None, buckets="128",
+                              max_new_tokens=8, quantize="int4g",
+                              kv_cache="bf16")
+    eng, tk = load_engine(args)
+    assert eng.decode_w4
+    lay = eng.params["llama"]["layers"]
+    assert lay["wq"].dtype == jnp.int8          # int4 magnitudes, int8 store
+    from valley_tpu.inference.engine import GenerationConfig
+
+    ids = tk.encode("### Human: hi\n### Assistant:")
+    toks = [int(t[0]) for t in eng.generate_tokens(
+        [ids], None, GenerationConfig(max_new_tokens=6, do_sample=False),
+        eos_ids=[-1])]
+    assert len(toks) == 6

@@ -390,3 +390,38 @@ def test_lora_training_with_adapter_snapshots(cfg, params, tmp_path):
     assert np.abs(np.asarray(
         final["llama"]["layers"]["wq_lora_b"])).sum() > 0
     assert any(d.startswith("adapter-") for d in os.listdir(out))
+
+
+def test_opt_state_sharded_at_init(cfg, params, tmp_path):
+    """The optimizer state must be mesh-sharded AT INIT, not only after
+    step 1: optax inits use just the shapes of their argument, so
+    without explicit out_shardings XLA DCEs the sharded inputs and
+    places the whole state on ONE device — at 7B that is ~27 GB of Adam
+    moments on a 16 GB chip, an init-time OOM that tiny-shape dryruns
+    never see (regression: parallel/sharding.opt_state_shardings)."""
+    from jax.sharding import NamedSharding
+
+    tc = TrainConfig(output_dir=str(tmp_path / "out"),
+                     freeze_backbone=False, tune_mm_mlp_adapter=True,
+                     gradient_checkpointing=False, save_steps=0,
+                     mesh_data=1, mesh_fsdp=4, mesh_model=2)
+    trainer = Trainer(cfg, tc, jax.tree.map(jnp.copy, params),
+                      make_loader(cfg))
+    pshard = {
+        jax.tree_util.keystr(path): leaf.sharding
+        for path, leaf in
+        jax.tree_util.tree_leaves_with_path(trainer.state.params)}
+    checked = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
+            trainer.state.opt_state):
+        if not hasattr(leaf, "sharding") or leaf.ndim < 2:
+            continue
+        assert isinstance(leaf.sharding, NamedSharding), \
+            (jax.tree_util.keystr(path), leaf.sharding)
+        # moments shard exactly like the param they mirror
+        for pk, psh in pshard.items():
+            if jax.tree_util.keystr(path).endswith(pk):
+                assert leaf.sharding == psh, (pk, leaf.sharding, psh)
+                checked += 1
+                break
+    assert checked >= 10, checked   # the big moment tensors were seen

@@ -43,11 +43,11 @@ def _quantize_one(w: jnp.ndarray, contract_axis: int = -1,
     (contract_axis -1 only) uses one scale per ``group_size`` input
     channels — scale (out, K/group) — the standard int4 quality fix
     (~4x lower reconstruction error than per-channel; `llama._proj`
-    detects the 2-D scale and runs the grouped dequant-dot).  CAUTION:
-    the grouped dot currently compiles to ~17x slower decode on v5e
-    (7.7 vs 129 tok/s measured) — XLA splits it into per-group dots
-    instead of fusing the scales; use per-channel (group_size=0) for
-    serving until the toolchain fuses this pattern."""
+    detects the 2-D scale).  At decode shapes `_proj` runs the grouped
+    dequant as ONE block-diagonal GEMV (same weight-stream rate as
+    per-channel: 121.9 vs 123.8 tok/s on the 7B flagship, same window;
+    tools/exp_int4_group.py); batched shapes (b*groups > one MXU tile)
+    use the grouped einsum, which XLA handles well at batch >= 16."""
     qmax = 127.0 if bits == 8 else 7.0
     if group_size and contract_axis == -1 and             w.shape[-1] % group_size == 0:
         g = w.shape[-1] // group_size

@@ -125,6 +125,55 @@ def shard_params(mesh: Mesh, params) -> Any:
     return jax.device_put(params, param_shardings(mesh, params))
 
 
+def _path_keys(path) -> tuple:
+    out = []
+    for k in path:
+        if hasattr(k, "key"):
+            out.append(k.key)
+        elif hasattr(k, "idx"):
+            out.append(k.idx)
+        elif hasattr(k, "name"):
+            out.append(k.name)
+        else:
+            out.append(str(k))
+    return tuple(out)
+
+
+def opt_state_shardings(mesh: Mesh, params, opt_state_avals) -> Any:
+    """Shardings for an optax state tree: subtrees that mirror the param
+    tree (Adam mu/nu — their leaf paths end with a param leaf's path and
+    have its shape) shard exactly like that param; step counters and
+    anything unrecognized replicate.
+
+    Why this exists: ``jax.jit(tx.init, in_shardings=...)`` does NOT give
+    a sharded optimizer state — optax inits consume only the *shapes* of
+    their argument, XLA DCEs the sharded inputs, the lowering drops to a
+    single device, and the moments come back placed on ONE chip.  At 7B
+    that is ~27 GB of Adam state on a 16 GB chip: an init-time OOM on
+    real multi-chip meshes that tiny-shape dryruns never catch (state is
+    correctly NamedSharded again after step 1 — too late).  Pass this
+    tree as ``out_shardings`` to the init jit instead."""
+    pshard = param_shardings(mesh, params)
+    by_suffix = {}
+    for path, sh in jax.tree_util.tree_leaves_with_path(pshard):
+        by_suffix[_path_keys(path)] = sh
+    shapes = {_path_keys(p): tuple(a.shape)
+              for p, a in jax.tree_util.tree_leaves_with_path(params)}
+    rep = NamedSharding(mesh, P())
+    depth = max((len(k) for k in by_suffix), default=0)
+
+    def pick(path, aval):
+        keys = _path_keys(path)
+        shape = tuple(getattr(aval, "shape", ()))
+        for i in range(max(0, len(keys) - depth), len(keys)):
+            sh = by_suffix.get(keys[i:])
+            if sh is not None and shapes.get(keys[i:]) == shape:
+                return sh
+        return rep
+
+    return jax.tree_util.tree_map_with_path(pick, opt_state_avals)
+
+
 def kv_cache_sharding(mesh: Mesh, batch: int, kv_heads: int,
                       ndim: int = 5) -> NamedSharding:
     """KV cache (L, B, S, Hkv, D): batch over (data, fsdp) and kv heads

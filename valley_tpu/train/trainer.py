@@ -34,8 +34,8 @@ import optax
 
 from valley_tpu.config import ValleyConfig
 from valley_tpu.models import valley
-from valley_tpu.parallel import (create_mesh, param_shardings, shard_batch,
-                                 shard_params)
+from valley_tpu.parallel import (create_mesh, opt_state_shardings,
+                                 param_shardings, shard_batch, shard_params)
 from valley_tpu.utils import checkpoint as ckpt_lib
 from valley_tpu.utils.profiling import StepTimer
 
@@ -250,9 +250,18 @@ class Trainer:
 
         with self.mesh:
             params = shard_params(self.mesh, params)
+            # out_shardings is REQUIRED here: optax inits use only the
+            # shapes of their argument, so in_shardings alone lets XLA
+            # DCE the inputs and place the whole state on one device —
+            # ~27 GB of Adam moments on one 16 GB chip at 7B, an
+            # init-time OOM no tiny-shape dryrun catches
+            # (parallel/sharding.opt_state_shardings).
             opt_state = jax.jit(
                 self.tx.init,
-                in_shardings=(param_shardings(self.mesh, params),))(params)
+                in_shardings=(param_shardings(self.mesh, params),),
+                out_shardings=opt_state_shardings(
+                    self.mesh, params,
+                    jax.eval_shape(self.tx.init, params)))(params)
         self._opt_dev_sh = self._opt_host_sh = None
         if tc.offload_optimizer:
             from jax.sharding import NamedSharding, PartitionSpec
