@@ -34,6 +34,17 @@ sustains 738-755 GB/s on this v5e, tools/exp_calib2.py; override with
 VALLEY_HBM_ACHIEVABLE) — the spec-vs-achievable gap is physics, not
 software (ROUND_NOTES.md round 2).  Set VALLEY_BENCH_SIZE=tiny to
 smoke-test on CPU.
+
+Measurement-noise protocol: the axon fabric DRIFTS run to run — the
+same binary+config has measured 431 vs 349 tok/s pooled (ROUND_NOTES
+round 3) and the per-call dispatch floor varies 25-43 ms hours apart.
+The drift is one-sided (slowdowns), so this bench reports the BEST of
+``VALLEY_BENCH_REPEATS`` (default 3) timed runs after a compile warmup
+— a noise-rejection protocol for a fixed workload.  Cross-round BENCH_r*
+comparisons still inherit residual window-to-window drift (±5-10% at
+single-stream granularity); only same-window back-to-back A/Bs support
+fine-grained perf conclusions (every tools/exp_* A/B follows that
+discipline).
 """
 
 from __future__ import annotations
@@ -157,7 +168,7 @@ def main():
 
     run()  # warmup: compile prefill + decode
     best_tps, best_first = 0.0, 1e9
-    for _ in range(3):
+    for _ in range(int(os.environ.get("VALLEY_BENCH_REPEATS", 3))):
         t_first, n, total = run()
         decode_time = total - t_first
         tps = (n - 1) / decode_time if decode_time > 0 else 0.0
