@@ -106,7 +106,7 @@ def main():
     # int4 decode (ops/quant.py int4_decode_view)
     qmode = os.environ.get(
         "VALLEY_BENCH_QUANT", "int8" if size != "tiny" else "bf16")
-    quant = qmode in ("int8", "int4", "int4g")
+    quant = qmode in ("int8", "int8a8", "int4", "int4g")
     # fused wqkv/w_gateup serving layout (4 GEMVs/layer instead of 7):
     # +1.3 tok/s on the int8 flagship (round 4 same-window A/B — the
     # win is GEMV-boundary scheduling gap, tools/exp_decode_glue.py).
@@ -131,7 +131,8 @@ def main():
 
         params = quantize_llama_params(
             params, bits=4 if qmode.startswith("int4") else 8,
-            group_size=128 if qmode == "int4g" else 0)
+            group_size=128 if qmode == "int4g" else 0,
+            act8=qmode == "int8a8")
     jax.block_until_ready(params)
 
     cache_dtype = dtype if (size == "tiny"

@@ -265,3 +265,75 @@ def test_grouped_proj_blockdiag_matches_einsum():
     ref = x1 @ w.T
     rel = float(jnp.abs(y_fast[0] - ref[0]).max() / jnp.abs(ref).max())
     assert rel < 0.12, rel
+
+
+def test_w8a8_proj_matches_manual_math():
+    """The W8A8 prefill path (act8=True) computes exactly: per-token
+    absmax int8 activation quant -> int8 dot (int32 accumulate is exact)
+    -> fp32 rescale by token scale x out-channel weight scale."""
+    from valley_tpu.models.llama import _A8_MIN_SEQ, _proj
+
+    k, o, s = 96, 64, _A8_MIN_SEQ
+    w = jax.random.normal(jax.random.key(5), (o, k)) * 0.1
+    q, scale = quantize_tensor(w)
+    lp = {"p": q, "p_scale_a8": scale}
+    x = jax.random.normal(jax.random.key(6), (1, s, k), jnp.float32)
+    y = np.asarray(_proj(lp, "p", x))
+
+    xf = np.asarray(x, np.float32).reshape(s, k)
+    amax = np.maximum(np.abs(xf).max(-1, keepdims=True), 1e-6)
+    ascale = amax / 127.0
+    xq = np.round(xf / ascale).astype(np.int32)
+    ref = (xq @ np.asarray(q, np.int32).T).astype(np.float32) \
+        * ascale * np.asarray(scale, np.float32)[None, :]
+    np.testing.assert_allclose(y.reshape(s, o), ref, rtol=1e-4, atol=1e-4)
+    # quality: the combined weight+activation quant error stays small
+    full = xf @ np.asarray(w, np.float32).T
+    rel = np.abs(y.reshape(s, o) - full).max() / np.abs(full).max()
+    assert rel < 0.03, rel
+
+
+def test_w8a8_below_seq_threshold_bit_identical_to_int8():
+    """Decode / extension / speculative-verify chunks (sequence axis <
+    _A8_MIN_SEQ) take the SAME dequant-dot an int8 tree does — bit-exact,
+    so int8a8 decode output is token-identical to int8."""
+    from valley_tpu.models.llama import _A8_MIN_SEQ, _proj
+
+    k, o = 96, 64
+    w = jax.random.normal(jax.random.key(7), (o, k)) * 0.1
+    q, scale = quantize_tensor(w)
+    x = jax.random.normal(jax.random.key(8), (4, _A8_MIN_SEQ - 1, k),
+                          jnp.float32)
+    y_a8 = _proj({"p": q, "p_scale_a8": scale}, "p", x)
+    y_i8 = _proj({"p": q, "p_scale": scale}, "p", x)
+    np.testing.assert_array_equal(np.asarray(y_a8), np.asarray(y_i8))
+
+
+def test_act8_engine_generates_and_decode_matches_int8(cfg, params):
+    """End-to-end: an int8a8 engine generates, and because only PREFILL
+    executables differ, feeding the int8 engine the a8 engine's prefill
+    continuation (greedy) yields the same decode behavior on ties-free
+    logits.  Here we assert the coarse contract: generation works and
+    the params tree really carries the _scale_a8 spelling."""
+    a8params = quantize_llama_params(jax.tree.map(jnp.copy, params),
+                                     act8=True)
+    assert "wq_scale_a8" in a8params["llama"]["layers"]
+    assert "wq_scale" not in a8params["llama"]["layers"]
+    eng = Engine(cfg, a8params, buckets=(128,), max_new_tokens=6,
+                 cache_dtype=jnp.float32, use_flash=False)
+    toks = [int(t[0]) for t in eng.generate_tokens(
+        [list(range(10, 25))],
+        gen=GenerationConfig(max_new_tokens=4, do_sample=False),
+        eos_ids=[-1])]
+    assert len(toks) == 4
+
+
+def test_act8_rejects_int4_and_groups():
+    import pytest as _pytest
+
+    w = {"llama": {"layers": {"wq": jnp.zeros((2, 8, 8))},
+                   "lm_head": jnp.zeros((8, 16))}}
+    with _pytest.raises(ValueError):
+        quantize_llama_params(w, bits=4, act8=True)
+    with _pytest.raises(ValueError):
+        quantize_llama_params(w, group_size=4, act8=True)

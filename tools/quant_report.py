@@ -3,7 +3,8 @@
 against documented thresholds — the automated validator the int4 flag
 previously lacked ("validate quality on your checkpoint").
 
-Three measurement levels per mode (int8 / int4 / int4 group-wise):
+Three measurement levels per mode (int8 / int8a8 / int4 / int4
+group-wise):
 
 1. **Per-tensor reconstruction** — relative RMS error of
    dequant(quant(W)) vs W for every quant target (mean/max over the
@@ -21,6 +22,11 @@ Default accept thresholds (override with --max-recon / --min-top1):
   mode     recon(mean)  top1(prefill)   rationale
   int8        1%           99%          lossless in practice; drift at
                                         this level is bf16 noise scale
+  int8a8      1%           97%          weights identical to int8;
+                                        prefill logits add dynamic
+                                        per-token activation-quant
+                                        error (decode is bit-identical
+                                        to int8 — llama._proj seq gate)
   int4        12%          90%          per-channel symmetric int4's
                                         known error; gate catches
                                         checkpoints with outlier
@@ -163,16 +169,22 @@ def recon_errors(host_params, bits: int, group_size: int) -> dict:
 
 
 def _prompts(cfg, tokens, frames):
-    """Deterministic prompt battery: text-only + one video prompt."""
+    """Deterministic prompt battery: text-only + one video prompt.
+
+    Both prompts are >= 128 tokens so the W8A8 prefill path
+    (``llama._A8_MIN_SEQ``) is actually exercised when gating the
+    ``int8a8`` mode — shorter prompts would silently measure the plain
+    int8 dequant-dot."""
     rng = np.random.default_rng(7)
     p = cfg.num_patches
     tok = cfg.tokens
     span = [tok.im_start] + [tok.im_patch] * p + [tok.im_end] + \
         [tok.vi_start] + [tok.vi_frame] * frames + [tok.vi_end]
     text = rng.integers(5, min(1000, cfg.text.vocab_size - 10),
-                        size=48).tolist()
+                        size=160).tolist()
     video = [1] + span + rng.integers(
-        5, min(1000, cfg.text.vocab_size - 10), size=16).tolist()
+        5, min(1000, cfg.text.vocab_size - 10),
+        size=max(16, 160 - len(span))).tolist()
     pixels = rng.standard_normal(
         (1, frames, 3, cfg.vision.image_size,
          cfg.vision.image_size)).astype(np.float32) * 0.5
@@ -197,6 +209,10 @@ def e2e_capture(cfg, host_params, mode: str, prompts, new_tokens: int,
     decode_w4 = False
     if mode == "int8":
         params = quantize_llama_params(params, bits=8)
+    elif mode == "int8a8":
+        # W8A8: same weights as int8; prefill-shaped matmuls (seq >=
+        # llama._A8_MIN_SEQ) additionally quantize activations per token
+        params = quantize_llama_params(params, bits=8, act8=True)
     elif mode == "int4":
         params = quantize_llama_params(params, bits=4)
         decode_w4 = True
@@ -253,7 +269,8 @@ def drift_stats(base_logits, base_tokens, logits, tokens):
 
 DEFAULT_GATES = {   # mode -> (max mean recon error, min top1 agreement)
     "int8": (0.010, 0.99),
-    "int4": (0.120, 0.90),
+    "int8a8": (0.010, 0.97),   # weight recon == int8; top-1 absorbs the
+    "int4": (0.120, 0.90),     # prefill activation-quant drift
     "int4g": (0.040, 0.97),
 }
 
@@ -268,7 +285,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="random:tiny",
                     help="random:tiny | random:7b | HF checkpoint dir")
-    ap.add_argument("--modes", default="int8,int4,int4g128")
+    ap.add_argument("--modes", default="int8,int8a8,int4,int4g128")
     ap.add_argument("--new-tokens", type=int, default=24)
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--max-recon", type=float, default=None)
@@ -292,7 +309,7 @@ def main():
     all_pass = True
     for mode in args.modes.split(","):
         mode = mode.strip()
-        bits = 8 if mode == "int8" else 4
+        bits = 4 if mode.startswith("int4") else 8
         gsize = int(mode[5:]) if mode.startswith("int4g") else 0
         if gsize:
             k = host["llama"]["layers"]["w_down"].shape[-1]

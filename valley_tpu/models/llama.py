@@ -161,6 +161,39 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
 _PROJ_IDS = {"wq": 0, "wk": 1, "wv": 2, "wo": 3,
              "w_gate": 4, "w_up": 5, "w_down": 6}
 
+# W8A8 applies only to chunks whose SEQUENCE axis is at least this long:
+# prefill buckets are >= 128 while decode steps, session-extension
+# chunks, and speculative verification windows are all <= 64 wide —
+# those stay on the w8a16 dequant-dot, keeping decode output
+# bit-identical to the plain int8 mode (see _proj).
+_A8_MIN_SEQ = 128
+
+
+def _w8a8_dot(x: jnp.ndarray, w: jnp.ndarray,
+              scale: jnp.ndarray) -> jnp.ndarray:
+    """quant(x) @ int8 w -> int32 accumulate, fp32 rescale (W8A8).
+
+    Activations quantize symmetrically per token (row absmax / 127), the
+    dot runs on the v5e int8 MXU path (int32 accumulate — exact for int8
+    operands), and the result rescales by (token scale x out-channel
+    weight scale).  ``w`` is (out, in) — contracting dim 1 of both
+    operands compiles to natural layouts (no transposed int8 copies;
+    measured w8a8oi == w8a8 in tools/exp_w8a8_prefill.py)."""
+    t = 1
+    for d in x.shape[:-1]:
+        t *= d
+    k = x.shape[-1]
+    o = w.shape[-2]
+    xf = x.reshape(t, k).astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6)
+    ascale = amax / 127.0
+    xq = jnp.round(xf / ascale).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, w, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    out = y.astype(jnp.float32) * ascale \
+        * scale[None, :].astype(jnp.float32)
+    return out.reshape(x.shape[:-1] + (o,)).astype(x.dtype)
+
 
 def _proj(lp, name: str, x: jnp.ndarray, lora_rng=None,
           lora_dropout: float = 0.0) -> jnp.ndarray:
@@ -178,7 +211,8 @@ def _proj(lp, name: str, x: jnp.ndarray, lora_rng=None,
         # the Pallas tile-streaming matvec (78 vs 58 tok/s measured), so
         # there is no kernel dispatch here.  int4 operands appear only
         # inside fused decode executables (ops/quant.int4_decode_view).
-        scale = lp[name + "_scale"]
+        a8_scale = lp.get(name + "_scale_a8")
+        scale = lp[name + "_scale"] if a8_scale is None else a8_scale
         if scale.ndim == w.ndim:
             # group-wise scales (out, K/group): per-group partial sums
             # scaled in fp32 then reduced (quant.py `group_size`)
@@ -215,6 +249,18 @@ def _proj(lp, name: str, x: jnp.ndarray, lora_rng=None,
                                   preferred_element_type=jnp.float32)
                 out = jnp.sum(part * scale.astype(jnp.float32),
                               axis=-1).astype(x.dtype)
+        elif a8_scale is not None and x.ndim >= 2 \
+                and x.shape[-2] >= _A8_MIN_SEQ:
+            # W8A8 prefill path (ops/quant.quantize_llama_params act8):
+            # dynamic per-token int8 activation quant + int8 MXU dot —
+            # 1.48x mean / 1.71x on the big GEMMs vs the bf16 dequant-dot
+            # at the 512 bucket (v5e int8 MXU: 394 TOPS vs 197 bf16
+            # TFLOP/s; tools/exp_w8a8_prefill.py).  The static
+            # sequence-length gate keeps EVERY decode / session-extension
+            # / speculative-verification executable (<= 64-wide chunks)
+            # on the dequant-dot below — bit-identical to plain int8 —
+            # so only prefill logits carry activation-quant error.
+            out = _w8a8_dot(x, w, scale)
         else:
             out = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype),
                              preferred_element_type=jnp.float32)

@@ -89,13 +89,30 @@ def quantize_tensor(w: jnp.ndarray, contract_axis: int = -1,
 
 def quantize_llama_params(params, targets: Sequence[str] = QUANT_TARGETS,
                           quantize_lm_head: bool = True, bits: int = 8,
-                          group_size: int = 0):
+                          group_size: int = 0, act8: bool = False):
     """Quantize the decoder weights to int8 (or the int4 range, bits=4).
 
     CONSUMES the input tree: original bf16 arrays are dropped tensor by
     tensor so peak device memory stays ~(full model + one layer) — a 7B
     bf16 tree plus a second fp32/bf16 copy would not fit a 16 GB chip.
+
+    ``act8=True`` (W8A8, worker ``--quantize int8a8``) additionally opts
+    PREFILL-shaped matmuls into dynamic per-token int8 activation
+    quantization on the v5e int8 MXU path (394 int8 TOPS vs 197 bf16
+    TFLOP/s — measured 1.48x mean / 1.71x on the big GEMMs at the 512
+    bucket, tools/exp_w8a8_prefill.py).  The opt-in is encoded in the
+    params tree itself — scales stored under ``<name>_scale_a8`` — so
+    W8A8 and plain-int8 engines get distinct jit cache entries.  Decode,
+    session-extension, and speculative-verification executables are
+    UNAFFECTED (`llama._proj` gates on sequence length >= 128; those
+    paths run <= 64-wide chunks), so decode output stays bit-identical
+    to ``int8`` — only prefill logits carry the activation-quant error
+    (gate a checkpoint with tools/quant_report.py int8a8).
     """
+    if act8 and (bits != 8 or group_size):
+        raise ValueError("act8 (W8A8) requires bits=8 and per-channel "
+                         "scales (group_size=0)")
+    scale_key = "_scale_a8" if act8 else "_scale"
     llama_p = params["llama"]            # mutated in place, see docstring
     layers = llama_p["layers"]
     for name in targets:
@@ -105,7 +122,7 @@ def quantize_llama_params(params, targets: Sequence[str] = QUANT_TARGETS,
                                    group_size=group_size)
         jax.block_until_ready(q)
         layers[name] = q                 # drop the bf16 stack before the
-        layers[name + "_scale"] = scale  # next tensor quantizes
+        layers[name + scale_key] = scale  # next tensor quantizes
     if quantize_lm_head and llama_p["lm_head"].dtype != jnp.int8:
         q, scale = quantize_tensor(llama_p["lm_head"], contract_axis=-2,
                                    bits=bits)

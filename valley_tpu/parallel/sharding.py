@@ -67,9 +67,10 @@ def _lora_spec(key: str) -> P:
         return P(None, None, "model")
     if key == "lora_scale":
         return P()                       # (L, 1, 1) alpha/r scalar
-    if key.endswith("_scale"):
+    if key.endswith("_scale") or key.endswith("_scale_a8"):
         # int8 quantization scales (L, out): follow the output (model)
-        # axis of their (L, out, in) weight
+        # axis of their (L, out, in) weight (``_scale_a8`` = the W8A8
+        # opt-in spelling, ops/quant.quantize_llama_params act8)
         return P(None, "model")
     return P()
 

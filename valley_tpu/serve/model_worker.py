@@ -921,7 +921,8 @@ def load_engine(args):
         from valley_tpu.models.llama import fuse_llama_params
 
         params = fuse_llama_params(params)
-    if getattr(args, "quantize", None) in ("int8", "int4", "int4g"):
+    if getattr(args, "quantize", None) in ("int8", "int8a8", "int4",
+                                           "int4g"):
         from valley_tpu.ops.quant import quantize_llama_params
 
         params = quantize_llama_params(
@@ -930,7 +931,10 @@ def load_engine(args):
             # error than per-channel at the same decode speed (the
             # block-diagonal GEMV formulation, models/llama._proj;
             # 121.9 vs 123.8 tok/s same-window, tools/exp_int4_group.py)
-            group_size=128 if args.quantize == "int4g" else 0)
+            group_size=128 if args.quantize == "int4g" else 0,
+            # int8a8: W8A8 prefill on the int8 MXU path — decode stays
+            # bit-identical to int8 (llama._proj sequence-length gate)
+            act8=args.quantize == "int8a8")
     cache_dtype = jnp.int8 if getattr(args, "kv_cache", "bf16") == "int8" \
         else jnp.bfloat16
     fb = getattr(args, "frame_buckets", "") or ""
@@ -1015,13 +1019,17 @@ def main():
                              "keeping steady-state throughput; 'off' "
                              "disables")
     parser.add_argument("--quantize", type=str, default=None,
-                        choices=["int8", "int4", "int4g"],
+                        choices=["int8", "int8a8", "int4", "int4g"],
                         help="weight-only decoder quantization: int8 "
-                             "(~1.8x decode), int4g (group-128 scales — "
-                             "the recommended 4-bit mode: same decode "
-                             "speed as per-channel at 4x lower "
-                             "reconstruction error; gate any checkpoint "
-                             "with tools/quant_report.py), or int4 "
+                             "(~1.8x decode), int8a8 (int8 decode + "
+                             "W8A8 prefill on the int8 MXU — ~1.5x "
+                             "faster LLM prefill; decode output "
+                             "bit-identical to int8, prefill logits "
+                             "carry activation-quant error — gate with "
+                             "tools/quant_report.py), int4g (group-128 "
+                             "scales — the recommended 4-bit mode: same "
+                             "decode speed as per-channel at 4x lower "
+                             "reconstruction error), or int4 "
                              "(per-channel scales, fastest by ~1.5%%)")
     parser.add_argument("--kv-cache", type=str, default="bf16",
                         choices=["bf16", "int8"],
