@@ -328,6 +328,65 @@ def test_act8_engine_generates_and_decode_matches_int8(cfg, params):
     assert len(toks) == 4
 
 
+def test_vision_quant_encode_close_and_specs(cfg, params):
+    """quantize_vision_params: int8 (weight-only) and int8a8 towers stay
+    close to the bf16 tower, and the sharding rules accept the new scale
+    keys (scale (L, 1, out) follows its weight's out axis)."""
+    from valley_tpu.models import clip_vit
+    from valley_tpu.ops.quant import quantize_vision_params
+    from valley_tpu.parallel import sharding
+
+    rng = np.random.default_rng(3)
+    px = jnp.asarray(rng.standard_normal(
+        (2, 3, cfg.vision.image_size, cfg.vision.image_size)),
+        jnp.float32)
+    base = clip_vit.encode(params["vision"], cfg.vision, px)
+    for act8 in (False, True):
+        qp = quantize_vision_params(
+            {"vision": jax.tree.map(jnp.copy, params["vision"])},
+            act8=act8)
+        lay = qp["vision"]["layers"]
+        key = "fc1_scale_a8" if act8 else "fc1_scale"
+        assert lay["fc1"].dtype == jnp.int8 and key in lay
+        assert lay[key].shape == (lay["fc1"].shape[0], 1,
+                                  lay["fc1"].shape[-1])
+        out = clip_vit.encode(qp["vision"], cfg.vision, px)
+        rel = float(jnp.abs(out - base).max()
+                    / (jnp.abs(base).max() + 1e-9))
+        assert rel < (0.25 if act8 else 0.15), (act8, rel)
+        specs = sharding.vision_param_specs(qp["vision"])
+        assert specs["layers"][key] == jax.sharding.PartitionSpec(
+            None, None, "model")   # fc1 out axis is 'model'
+        wo_key = "wo_scale_a8" if act8 else "wo_scale"
+        assert specs["layers"][wo_key] == jax.sharding.PartitionSpec(
+            None, None, "fsdp")    # wo out axis is 'fsdp'
+
+
+def test_vision_quant_engine_video_generates(cfg, params):
+    """Full engine with BOTH the LLM (int8a8) and the tower (int8a8)
+    quantized generates from a video prompt."""
+    from valley_tpu.ops.quant import quantize_vision_params
+
+    qp = quantize_llama_params(jax.tree.map(jnp.copy, params), act8=True)
+    qp = quantize_vision_params(qp, act8=True)
+    tok = cfg.tokens
+    frames = 2
+    span = [tok.im_start] + [tok.im_patch] * cfg.num_patches + \
+        [tok.im_end] + [tok.vi_start] + [tok.vi_frame] * frames + \
+        [tok.vi_end]
+    prompt = [1] + span + list(range(10, 20))
+    px = np.random.default_rng(4).standard_normal(
+        (1, frames, 3, cfg.vision.image_size,
+         cfg.vision.image_size)).astype(np.float32)
+    eng = Engine(cfg, qp, buckets=(128,), max_new_tokens=6,
+                 cache_dtype=jnp.float32, use_flash=False)
+    toks = [int(t[0]) for t in eng.generate_tokens(
+        [prompt], images=px,
+        gen=GenerationConfig(max_new_tokens=4, do_sample=False),
+        eos_ids=[-1])]
+    assert len(toks) == 4
+
+
 def test_act8_rejects_int4_and_groups():
     import pytest as _pytest
 

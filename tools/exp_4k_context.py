@@ -12,8 +12,12 @@ The streaming-K flash kernel was verified at S=4096 in round 2
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site \
     python tools/exp_4k_context.py [new_tokens]
+VALLEY_BENCH_QUANT=int8a8 additionally runs the W8A8 prefill path
+(llama._w8a8_dot; long prompts are where prefill compute dominates
+first-token latency, so this is the mode's best case).
 """
 
+import os
 import sys
 import time
 
@@ -37,7 +41,9 @@ def main():
         jax.random.key(0))
     params = jax.tree.map(lambda s: jnp.full(s.shape, 0.008, s.dtype),
                           shapes)
-    params = quantize_llama_params(params)
+    qmode = os.environ.get("VALLEY_BENCH_QUANT", "int8")
+    params = quantize_llama_params(params, act8=qmode == "int8a8")
+    print(f"quant mode: {qmode}", flush=True)
     jax.block_until_ready(params)
 
     eng = Engine(cfg, params, buckets=(512, 4096), max_new_tokens=new,

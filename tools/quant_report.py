@@ -192,10 +192,12 @@ def _prompts(cfg, tokens, frames):
 
 
 def e2e_capture(cfg, host_params, mode: str, prompts, new_tokens: int,
-                use_flash: bool):
+                use_flash: bool, vision_quant: str = ""):
     """Run the prompt battery through forward logits + engine greedy
     decode under one quantization mode.  Returns (logits list, token
-    lists).  Builds and frees its own device tree."""
+    lists).  Builds and frees its own device tree.  ``vision_quant``
+    ('int8' / 'int8a8') additionally quantizes the CLIP tower in every
+    non-bf16 mode, so the video prompt's drift includes the tower."""
     import gc
 
     import jax
@@ -203,9 +205,13 @@ def e2e_capture(cfg, host_params, mode: str, prompts, new_tokens: int,
 
     from valley_tpu.inference import Engine, GenerationConfig
     from valley_tpu.models import valley
-    from valley_tpu.ops.quant import quantize_llama_params
+    from valley_tpu.ops.quant import (quantize_llama_params,
+                                      quantize_vision_params)
 
     params = jax.tree.map(jnp.asarray, host_params)
+    if vision_quant and mode != "bf16":
+        params = quantize_vision_params(params,
+                                        act8=vision_quant == "int8a8")
     decode_w4 = False
     if mode == "int8":
         params = quantize_llama_params(params, bits=8)
@@ -292,6 +298,12 @@ def main():
     ap.add_argument("--min-top1", type=float, default=None)
     ap.add_argument("--flash", action="store_true",
                     help="flash-attention engine (on-chip runs)")
+    ap.add_argument("--vision-quant", default="",
+                    choices=["", "int8", "int8a8"],
+                    help="also quantize the CLIP tower in every "
+                         "measured mode (worker --quantize-vision); the "
+                         "video prompt's logit drift then gates the "
+                         "tower too")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -304,8 +316,12 @@ def main():
     base_logits, base_tokens = e2e_capture(cfg, host, "bf16", prompts,
                                            args.new_tokens, args.flash)
     log("bf16 reference captured")
+    if args.vision_quant:
+        log(f"vision tower quantized ({args.vision_quant}) in every "
+            f"measured mode")
 
-    report = {"model": args.model, "modes": {}}
+    report = {"model": args.model, "modes": {},
+              "vision_quant": args.vision_quant or None}
     all_pass = True
     for mode in args.modes.split(","):
         mode = mode.strip()
@@ -321,7 +337,8 @@ def main():
         rec = recon_errors(host, bits, gsize)
         worst = max(v[0] for v in rec.values())
         logits, tokens = e2e_capture(cfg, host, mode, prompts,
-                                     args.new_tokens, args.flash)
+                                     args.new_tokens, args.flash,
+                                     vision_quant=args.vision_quant)
         stats = drift_stats(base_logits, base_tokens, logits, tokens)
         max_recon, min_top1 = gate_for(mode, args)
         ok = worst <= max_recon and stats["top1_agree"] >= min_top1

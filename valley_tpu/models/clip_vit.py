@@ -99,22 +99,56 @@ def _patchify(pixel_values: jnp.ndarray, cfg: VisionConfig) -> jnp.ndarray:
     return x.reshape(b, gh * gw, c * p * p)
 
 
+def _dot(lp, name: str, x: jnp.ndarray) -> jnp.ndarray:
+    """``x @ lp[name]`` with optional int8 weights (w stored (in, out),
+    scale (1, out) after the scan's layer slice —
+    `ops.quant.quantize_vision_params`).
+
+    ``<name>_scale``: weight-only dequant-dot (int8 weights load as bf16
+    operands, fp32 accumulate — same scheme as `llama._proj`).
+    ``<name>_scale_a8``: W8A8 — per-token int8 activation quant + int8
+    MXU dot (the tower only ever runs prefill-shaped 257-token matmuls,
+    so unlike the LLM there is no sequence-length gate; every tower call
+    takes the fast path)."""
+    w = lp[name]
+    if w.dtype != jnp.int8:
+        return x @ w
+    a8_scale = lp.get(name + "_scale_a8")
+    scale = lp[name + "_scale"] if a8_scale is None else a8_scale
+    b, s, k = x.shape
+    o = w.shape[-1]
+    if a8_scale is not None:
+        xf = x.reshape(b * s, k).astype(jnp.float32)
+        amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                           1e-6)
+        ascale = amax / 127.0
+        xq = jnp.round(xf / ascale).astype(jnp.int8)
+        y = jax.lax.dot_general(xq, w, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        out = y.astype(jnp.float32) * ascale * scale.astype(jnp.float32)
+        return out.reshape(b, s, o).astype(x.dtype)
+    y = jax.lax.dot_general(x, w.astype(x.dtype),
+                            (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return (y * scale.astype(jnp.float32)).astype(x.dtype)
+
+
 def _encoder_layer(lp, x, cfg: VisionConfig):
     b, s, h = x.shape
     nh, d = cfg.num_attention_heads, cfg.head_dim
 
     residual = x
     x = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], cfg.layer_norm_eps)
-    q = (x @ lp["wq"] + lp["bq"]).reshape(b, s, nh, d)
-    k = (x @ lp["wk"] + lp["bk"]).reshape(b, s, nh, d)
-    v = (x @ lp["wv"] + lp["bv"]).reshape(b, s, nh, d)
+    q = (_dot(lp, "wq", x) + lp["bq"]).reshape(b, s, nh, d)
+    k = (_dot(lp, "wk", x) + lp["bk"]).reshape(b, s, nh, d)
+    v = (_dot(lp, "wv", x) + lp["bv"]).reshape(b, s, nh, d)
     attn = mha_attention(q, k, v, causal=False, use_flash=False)
-    x = residual + (attn.reshape(b, s, h) @ lp["wo"] + lp["bo"])
+    x = residual + (_dot(lp, "wo", attn.reshape(b, s, h)) + lp["bo"])
 
     residual = x
     x = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], cfg.layer_norm_eps)
-    x = _activation(x @ lp["fc1"] + lp["fc1_bias"],
-                    cfg.hidden_act) @ lp["fc2"] + lp["fc2_bias"]
+    x = _dot(lp, "fc2", _activation(_dot(lp, "fc1", x) + lp["fc1_bias"],
+                                    cfg.hidden_act)) + lp["fc2_bias"]
     return residual + x
 
 

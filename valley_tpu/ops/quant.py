@@ -132,6 +132,37 @@ def quantize_llama_params(params, targets: Sequence[str] = QUANT_TARGETS,
     return params
 
 
+VISION_QUANT_TARGETS = ("wq", "wk", "wv", "wo", "fc1", "fc2")
+
+
+def quantize_vision_params(params, act8: bool = False):
+    """Quantize the frozen CLIP tower's encoder GEMMs to int8.
+
+    Vision weights are stored ``(L, in, out)`` (``x @ w``,
+    `clip_vit.init_params`), so quantization contracts over axis -2 and
+    the scale is ``(L, 1, out)``.  The tower runs ONLY prefill-shaped
+    matmuls (257 tokens/frame — there is no vision decode), so
+    ``act8=True`` (W8A8 on the v5e int8 MXU, ~2x the bf16 GEMM rate —
+    tools/exp_w8a8_prefill.py) applies to every tower call;
+    ``act8=False`` is weight-only int8 (halves tower weight reads,
+    activations stay bf16).  Embeddings / layernorms / biases stay bf16.
+    Serving opt-in: worker ``--quantize-vision int8|int8a8``; gate a
+    checkpoint's video-prompt drift with tools/quant_report.py
+    ``--vision-quant``.  Like `quantize_llama_params`, CONSUMES the
+    input tree (originals dropped tensor by tensor).
+    """
+    scale_key = "_scale_a8" if act8 else "_scale"
+    layers = params["vision"]["layers"]
+    for name in VISION_QUANT_TARGETS:
+        if name not in layers or layers[name].dtype == jnp.int8:
+            continue
+        q, scale = quantize_tensor(layers[name], contract_axis=-2)
+        jax.block_until_ready(q)
+        layers[name] = q
+        layers[name + scale_key] = scale
+    return params
+
+
 def int4_decode_view(params):
     """int8-stored 4-bit weights -> real int4 arrays, for use INSIDE a
     fused decode executable (int4 buffers cannot cross jit boundaries on

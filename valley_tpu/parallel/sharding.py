@@ -86,12 +86,23 @@ def vision_param_specs(params_vision) -> Any:
         "fc1": P(None, "fsdp", "model"), "fc1_bias": P(None, "model"),
         "fc2": P(None, "model", "fsdp"), "fc2_bias": P(),
     }
+
+    def spec(k: str) -> P:
+        # int8 tower scales (L, 1, out) — quantize_vision_params: follow
+        # the out axis of their (L, in, out) weight
+        for suffix in ("_scale_a8", "_scale"):
+            base = k[:-len(suffix)]
+            if k.endswith(suffix) and base in ("wq", "wk", "wv", "wo",
+                                               "fc1", "fc2"):
+                return P(None, None, layer[base][2])
+        return layer[k]
+
     return {
         "class_embedding": P(),
         "patch_embedding": P(None, "fsdp"),
         "position_embedding": P(None, "fsdp"),
         "pre_ln_scale": P(), "pre_ln_bias": P(),
-        "layers": {k: layer[k] for k in params_vision["layers"]},
+        "layers": {k: spec(k) for k in params_vision["layers"]},
     }
 
 

@@ -935,6 +935,13 @@ def load_engine(args):
             # int8a8: W8A8 prefill on the int8 MXU path — decode stays
             # bit-identical to int8 (llama._proj sequence-length gate)
             act8=args.quantize == "int8a8")
+    if getattr(args, "quantize_vision", None) in ("int8", "int8a8"):
+        # the frozen CLIP tower only runs prefill-shaped matmuls, so
+        # int8a8 rides the int8 MXU on every tower call (clip_vit._dot)
+        from valley_tpu.ops.quant import quantize_vision_params
+
+        params = quantize_vision_params(
+            params, act8=args.quantize_vision == "int8a8")
     cache_dtype = jnp.int8 if getattr(args, "kv_cache", "bf16") == "int8" \
         else jnp.bfloat16
     fb = getattr(args, "frame_buckets", "") or ""
@@ -1031,6 +1038,15 @@ def main():
                              "decode speed as per-channel at 4x lower "
                              "reconstruction error), or int4 "
                              "(per-channel scales, fastest by ~1.5%%)")
+    parser.add_argument("--quantize-vision", type=str, default=None,
+                        choices=["int8", "int8a8"],
+                        help="quantize the frozen CLIP tower's encoder "
+                             "GEMMs: int8 (weight-only) or int8a8 (W8A8 "
+                             "on the int8 MXU — the tower is all "
+                             "prefill-shaped, so every call rides it); "
+                             "cuts the vision share of video "
+                             "first-token latency; gate with "
+                             "tools/quant_report.py --vision-quant")
     parser.add_argument("--kv-cache", type=str, default="bf16",
                         choices=["bf16", "int8"],
                         help="KV-cache dtype: int8 halves cache HBM "
