@@ -108,6 +108,14 @@ def test_tensor_roundtrip():
     assert len(frames) == 2 and frames[0].shape == (8, 8, 3)
 
 
+def test_to_tensor_passthrough():
+    arr = [[1.0, 2.0], [3.0, 4.0]]
+    out = T.ToTensor()(arr)
+    assert isinstance(out, np.ndarray) and out.shape == (2, 2)
+    same = np.ones((3, 4), np.float32)
+    np.testing.assert_array_equal(T.ToTensor()(same), same)
+
+
 def test_augmentations_run():
     rng = np.random.default_rng(0)
     frames = [rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)

@@ -309,23 +309,44 @@ def test_w8a8_below_seq_threshold_bit_identical_to_int8():
     np.testing.assert_array_equal(np.asarray(y_a8), np.asarray(y_i8))
 
 
-def test_act8_engine_generates_and_decode_matches_int8(cfg, params):
-    """End-to-end: an int8a8 engine generates, and because only PREFILL
-    executables differ, feeding the int8 engine the a8 engine's prefill
-    continuation (greedy) yields the same decode behavior on ties-free
-    logits.  Here we assert the coarse contract: generation works and
-    the params tree really carries the _scale_a8 spelling."""
+def test_act8_engine_below_gate_bit_identical_above_gate_engages(
+        cfg, params):
+    """End-to-end contract of the _A8_MIN_SEQ gate through the REAL
+    engine: (1) when every chunk stays below the gate (bucket 64 < 128)
+    the int8a8 engine's whole greedy generation is BIT-IDENTICAL to the
+    int8 engine's — the a8 tree degenerates exactly to the dequant-dot;
+    (2) at a >= 128 bucket the W8A8 prefill engages: prefill logits
+    drift from int8's (close, not equal), which is why continuations
+    after a W8A8 prefill are not promised bit-identical (the prefill
+    also writes activation-quantized KV)."""
+    i8params = quantize_llama_params(jax.tree.map(jnp.copy, params))
     a8params = quantize_llama_params(jax.tree.map(jnp.copy, params),
                                      act8=True)
     assert "wq_scale_a8" in a8params["llama"]["layers"]
     assert "wq_scale" not in a8params["llama"]["layers"]
-    eng = Engine(cfg, a8params, buckets=(128,), max_new_tokens=6,
-                 cache_dtype=jnp.float32, use_flash=False)
-    toks = [int(t[0]) for t in eng.generate_tokens(
-        [list(range(10, 25))],
-        gen=GenerationConfig(max_new_tokens=4, do_sample=False),
-        eos_ids=[-1])]
-    assert len(toks) == 4
+    prompt = list(range(10, 25))
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False)
+
+    # (1) bucket 64 < _A8_MIN_SEQ: entire generation bit-identical
+    def gen_tokens(p, bucket):
+        eng = Engine(cfg, p, buckets=(bucket,), max_new_tokens=8,
+                     cache_dtype=jnp.float32, use_flash=False)
+        return [int(t[0]) for t in
+                eng.generate_tokens([prompt], gen=gen, eos_ids=[-1])]
+
+    assert gen_tokens(a8params, 64) == gen_tokens(i8params, 64)
+
+    # (2) >= 128-wide forward: the a8 path engages (logits differ from
+    # int8's but stay close), and the engine still generates
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(5, 400, (1, 130)))
+    lg_i8 = valley.forward(i8params, cfg, ids)
+    lg_a8 = valley.forward(a8params, cfg, ids)
+    diff = float(jnp.abs(lg_i8 - lg_a8).max())
+    assert diff > 0.0, "W8A8 path never engaged at seq 130"
+    assert diff < 0.5 * float(jnp.abs(lg_i8).max()), diff
+    toks = gen_tokens(a8params, 256)
+    assert len(toks) == 6
 
 
 def test_vision_quant_encode_close_and_specs(cfg, params):

@@ -1,10 +1,23 @@
 """Why is the in-ENGINE W8A8 prefill slower when the isolated GEMM
 chains (tools/exp_w8a8_prefill.py) measured 1.48x?
 
-bench A/B (round 4, same window): int8 first_token 0.177 s vs int8a8
-0.214 s — the W8A8 model runs ~2x SLOWER on its LLM-prefill share, not
-1.5x faster.  The suspects, isolated here at 7B prefill shapes
-(B=1, S=512, fused serving layout):
+RESOLVED (round 5): it isn't — the round-4 bench A/B (int8 first_token
+0.177 s vs int8a8 0.214 s) does NOT reproduce; it was one-sided fabric
+drift, not a relayout.  Round-5 measurements on chip, same window:
+
+    full8   75.5 ms   fulla8   50.0 ms  (1.51x)
+    slice8  64.3 ms   slicea8  42.8 ms  (1.50x — the dynamic-sliced
+                                         stacked weights quantize fine)
+    slicea8b 44.2 ms  (bf16 quant math: no better than fp32)
+    engine8 first-token 74.0 ms   enginea8 55.2 ms  (1.34x, text 512)
+
+and the full video bench A/B (best-of-6 each, one window):
+int8 first_token 0.160/0.155 s vs int8a8 0.141 s at identical decode
+96.4-96.5 tok/s.  W8A8 prefill is an end-to-end first-token WIN
+(~12%); int8a8 is now the bench flagship (bench.py).
+
+Original round-4 hypothesis space, kept for the record — the suspects,
+isolated here at 7B prefill shapes (B=1, S=512, fused serving layout):
 
   full8   : full llama.forward_hidden, int8 dequant-dot   [baseline]
   fulla8  : full llama.forward_hidden, W8A8 (_w8a8_dot)

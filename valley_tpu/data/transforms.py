@@ -69,6 +69,15 @@ class TensorToNumpy:
         return [np.moveaxis(arr[:, t], 0, -1) for t in range(arr.shape[1])]
 
 
+class ToTensor:
+    """Array pass-through (reference `video_transform.py:167` wraps a
+    numpy array in torch.from_numpy; here arrays ARE the tensor type,
+    so this normalizes any array-like to np.ndarray)."""
+
+    def __call__(self, array):
+        return np.asarray(array)
+
+
 class ClipToTensor:
     """List of T HxWxC frames -> (C, T, H, W) float array in [0, 1]
     (reference `video_transform.py:113`)."""

@@ -162,10 +162,15 @@ _PROJ_IDS = {"wq": 0, "wk": 1, "wv": 2, "wo": 3,
              "w_gate": 4, "w_up": 5, "w_down": 6}
 
 # W8A8 applies only to chunks whose SEQUENCE axis is at least this long:
-# prefill buckets are >= 128 while decode steps, session-extension
-# chunks, and speculative verification windows are all <= 64 wide —
-# those stay on the w8a16 dequant-dot, keeping decode output
-# bit-identical to the plain int8 mode (see _proj).
+# prefill buckets are >= 128 while decode steps and speculative
+# verification windows are <= 64 wide — those stay on the w8a16
+# dequant-dot, so DECODE EXECUTABLES are bit-equivalent to plain int8
+# given the same cache state (the W8A8 prefill's cache contents differ:
+# KV written by a >= 128-wide chunk carries activation-quant error).
+# ChatSession extension chunks pad to pow2 (engine.py), so a turn with
+# > 64 new tokens produces a >= 128-wide _extend that also takes the
+# W8A8 path — by design: those chunks are prefill-shaped and get the
+# same int8-MXU speedup (see _proj / ops/quant.quantize_llama_params).
 _A8_MIN_SEQ = 128
 
 
@@ -256,10 +261,12 @@ def _proj(lp, name: str, x: jnp.ndarray, lora_rng=None,
             # 1.48x mean / 1.71x on the big GEMMs vs the bf16 dequant-dot
             # at the 512 bucket (v5e int8 MXU: 394 TOPS vs 197 bf16
             # TFLOP/s; tools/exp_w8a8_prefill.py).  The static
-            # sequence-length gate keeps EVERY decode / session-extension
-            # / speculative-verification executable (<= 64-wide chunks)
-            # on the dequant-dot below — bit-identical to plain int8 —
-            # so only prefill logits carry activation-quant error.
+            # sequence-length gate keeps decode / speculative-
+            # verification executables (<= 64-wide) on the exact
+            # dequant-dot below; >= 128-wide chunks (prefill buckets
+            # AND ChatSession extension chunks padded past 64) take
+            # this path, so their logits and written KV carry
+            # activation-quant error — see _A8_MIN_SEQ.
             out = _w8a8_dot(x, w, scale)
         else:
             out = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype),

@@ -97,17 +97,33 @@ def quantize_llama_params(params, targets: Sequence[str] = QUANT_TARGETS,
     bf16 tree plus a second fp32/bf16 copy would not fit a 16 GB chip.
 
     ``act8=True`` (W8A8, worker ``--quantize int8a8``) additionally opts
-    PREFILL-shaped matmuls into dynamic per-token int8 activation
-    quantization on the v5e int8 MXU path (394 int8 TOPS vs 197 bf16
-    TFLOP/s — measured 1.48x mean / 1.71x on the big GEMMs at the 512
-    bucket, tools/exp_w8a8_prefill.py).  The opt-in is encoded in the
-    params tree itself — scales stored under ``<name>_scale_a8`` — so
-    W8A8 and plain-int8 engines get distinct jit cache entries.  Decode,
-    session-extension, and speculative-verification executables are
-    UNAFFECTED (`llama._proj` gates on sequence length >= 128; those
-    paths run <= 64-wide chunks), so decode output stays bit-identical
-    to ``int8`` — only prefill logits carry the activation-quant error
-    (gate a checkpoint with tools/quant_report.py int8a8).
+    matmuls whose sequence axis is >= `llama._A8_MIN_SEQ` (128) into
+    dynamic per-token int8 activation quantization on the v5e int8 MXU
+    path (394 int8 TOPS vs 197 bf16 TFLOP/s — measured 1.48x mean /
+    1.71x on the big GEMMs at the 512 bucket,
+    tools/exp_w8a8_prefill.py).  The opt-in is encoded in the params
+    tree itself — scales stored under ``<name>_scale_a8`` — so W8A8 and
+    plain-int8 engines get distinct jit cache entries.
+
+    What the sequence gate does and does NOT guarantee:
+
+    - Decode steps and speculative verification windows (<= 64 wide)
+      take the IDENTICAL w8a16 dequant-dot an ``int8`` tree does — the
+      decode executables are bit-equivalent given the same cache state
+      (tests/test_quant.py).
+    - Prefill (buckets >= 128) runs W8A8, so prefill logits AND the
+      KV values the prefill writes carry per-token activation-quant
+      error — the greedy continuation after a W8A8 prefill can differ
+      from plain int8's (the decode math is exact, its cache input is
+      not).  A whole generation is bit-identical to int8 only when
+      every chunk stays below the gate (buckets < 128).
+    - ChatSession extension chunks pad to a pow2 width
+      (engine.py ChatSession.chat), so any turn with > 64 new tokens
+      produces a >= 128-wide ``_extend`` call that ALSO takes the W8A8
+      path; short turns (<= 64 new tokens) stay on the exact dequant-dot.
+
+    Gate a checkpoint's end-to-end drift (prefill + a long multi-turn
+    extension chunk) with tools/quant_report.py ``int8a8``.
     """
     if act8 and (bits != 8 or group_size):
         raise ValueError("act8 (W8A8) requires bits=8 and per-channel "

@@ -1029,11 +1029,13 @@ def main():
                         choices=["int8", "int8a8", "int4", "int4g"],
                         help="weight-only decoder quantization: int8 "
                              "(~1.8x decode), int8a8 (int8 decode + "
-                             "W8A8 prefill on the int8 MXU — ~1.5x "
-                             "faster LLM prefill; decode output "
-                             "bit-identical to int8, prefill logits "
-                             "carry activation-quant error — gate with "
-                             "tools/quant_report.py), int4g (group-128 "
+                             "W8A8 prefill on the int8 MXU — measured "
+                             "same-window video first-token 0.141 s vs "
+                             "int8's 0.155-0.160 s at identical decode "
+                             "tok/s, round 5; prefill logits and "
+                             "prefilled KV carry activation-quant "
+                             "error — gate with tools/quant_report.py), "
+                             "int4g (group-128 "
                              "scales — the recommended 4-bit mode: same "
                              "decode speed as per-channel at 4x lower "
                              "reconstruction error), or int4 "
