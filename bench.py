@@ -104,6 +104,85 @@ def param_bytes(tree) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
 
 
+def _perf_quant_params(cfg, fused: bool, qmode: str):
+    """Perf-only weights materialized ALREADY QUANTIZED, tensor by
+    tensor — the closed form of quantize_llama_params(+pack_int4_params)
+    on a constant tree.
+
+    The 13B bf16 tree is ~26 GB and cannot transiently exist on a 16 GB
+    chip, so the usual build-then-quantize path is impossible there.
+    Perf weights are the constant v = bf16(0.008), and symmetric
+    quantization of a constant is exact and closed-form: q == qmax
+    everywhere, scale == f32(v)/qmax (cast bf16) — bit-identical to what
+    `quantize_llama_params` produces for the same tree (amax == v in
+    every channel/group), verified by
+    tests/test_tools.py::test_bench_perf_quant_params_matches_quantizer.
+    int4gp additionally stores the packed nibble byte directly
+    (7 | 7<<4 == 0x77) instead of packing an int8 transient."""
+    import jax
+    import jax.numpy as jnp
+
+    from valley_tpu.models import valley
+    from valley_tpu.ops.quant import QUANT_TARGETS
+
+    bits = 4 if qmode.startswith("int4") else 8
+    qmax = 7 if bits == 4 else 127
+    group = 128 if qmode in ("int4g", "int4gp") else 0
+    packed = qmode == "int4gp"
+    scale_key = "_scale_a8" if qmode == "int8a8" else "_scale"
+    v = jnp.full((), 0.008, jnp.bfloat16)
+    scale_val = (v.astype(jnp.float32) / qmax).astype(jnp.bfloat16)
+
+    shapes = jax.eval_shape(
+        lambda k: valley.init_params(cfg, k, dtype=jnp.bfloat16,
+                                     fused=fused), jax.random.key(0))
+
+    def full_like(sd):
+        return jnp.full(sd.shape, 0.008, sd.dtype)
+
+    params = {}
+    for top, sub in shapes.items():
+        if top != "llama":
+            params[top] = jax.tree.map(full_like, sub)
+            continue
+        llp = {}
+        for k, sd in sub.items():
+            if k == "layers":
+                lay = {}
+                for n, ld in sd.items():
+                    if n not in QUANT_TARGETS:
+                        lay[n] = full_like(ld)
+                        continue
+                    shape = ld.shape
+                    if packed:
+                        pk = shape[:-1] + (shape[-1] // 2,)
+                        lay[n] = jnp.full(pk, (qmax & 0xF) | (qmax << 4),
+                                          jnp.uint8)
+                    else:
+                        lay[n] = jnp.full(shape, qmax, jnp.int8)
+                    if group and shape[-1] % group == 0:
+                        s_shape = shape[:-1] + (shape[-1] // group,)
+                    else:
+                        s_shape = shape[:-1]
+                    lay[n + scale_key] = jnp.full(s_shape, scale_val,
+                                                  jnp.bfloat16)
+                llp["layers"] = lay
+            elif k == "lm_head":
+                shape = sd.shape                     # (in, vocab)
+                if packed:
+                    llp["lm_head"] = jnp.full(
+                        (shape[0] // 2, shape[1]),
+                        (qmax & 0xF) | (qmax << 4), jnp.uint8)
+                else:
+                    llp["lm_head"] = jnp.full(shape, qmax, jnp.int8)
+                llp["lm_head_scale"] = jnp.full((1, shape[1]), scale_val,
+                                                jnp.bfloat16)
+            else:
+                llp[k] = full_like(sd)
+        params["llama"] = llp
+    return params
+
+
 def main():
     on_tpu = jax.default_backend() not in ("cpu",)
     size = os.environ.get("VALLEY_BENCH_SIZE", "7b" if on_tpu else "tiny")
@@ -127,9 +206,15 @@ def main():
     # (CPU smoke) and explicit VALLEY_BENCH_QUANT=bf16 stay bf16;
     # VALLEY_BENCH_QUANT=int4 benches the experimental in-executable
     # int4 decode (ops/quant.py int4_decode_view)
-    qmode = os.environ.get(
-        "VALLEY_BENCH_QUANT", "int8a8" if size != "tiny" else "bf16")
-    quant = qmode in ("int8", "int8a8", "int4", "int4g")
+    if size == "13b" and "VALLEY_BENCH_QUANT" not in os.environ:
+        # 13B's one-chip config: group-128 int4 NIBBLE-PACKED storage
+        # (0.5 B/weight resident, ops/quant.pack_int4_params) — the
+        # reference needs >= 30 GB VRAM or multi-GPU device_map for 13B
+        qmode = "int4gp"
+    else:
+        qmode = os.environ.get(
+            "VALLEY_BENCH_QUANT", "int8a8" if size != "tiny" else "bf16")
+    quant = qmode in ("int8", "int8a8", "int4", "int4g", "int4gp")
     # fused wqkv/w_gateup serving layout (4 GEMVs/layer instead of 7):
     # +1.3 tok/s on the int8 flagship (round 4 same-window A/B — the
     # win is GEMV-boundary scheduling gap, tools/exp_decode_glue.py).
@@ -139,6 +224,11 @@ def main():
     dtype = jnp.bfloat16
     if size == "tiny":
         params = valley.init_params(cfg, jax.random.key(0), dtype=dtype)
+    elif size == "13b" and quant:
+        # 13B cannot transiently hold the full bf16 tree (~26 GB) on a
+        # 16 GB chip; perf weights are CONSTANT, so the quantized tree
+        # is materialized in closed form tensor by tensor (see helper).
+        params = _perf_quant_params(cfg, fused, qmode)
     else:
         # Perf-only weights: same shapes/dtypes, built with no fp32 RNG
         # transients (random init of the stacked (L, H, F) fp32 tensors
@@ -149,13 +239,16 @@ def main():
             jax.random.key(0))
         params = jax.tree.map(
             lambda s: jnp.full(s.shape, 0.008, s.dtype), shapes)
-    if quant:
-        from valley_tpu.ops.quant import quantize_llama_params
+        if quant:
+            from valley_tpu.ops.quant import (pack_int4_params,
+                                              quantize_llama_params)
 
-        params = quantize_llama_params(
-            params, bits=4 if qmode.startswith("int4") else 8,
-            group_size=128 if qmode == "int4g" else 0,
-            act8=qmode == "int8a8")
+            params = quantize_llama_params(
+                params, bits=4 if qmode.startswith("int4") else 8,
+                group_size=128 if qmode in ("int4g", "int4gp") else 0,
+                act8=qmode == "int8a8")
+            if qmode == "int4gp":
+                params = pack_int4_params(params)
     jax.block_until_ready(params)
 
     cache_dtype = dtype if (size == "tiny"
@@ -163,7 +256,8 @@ def main():
                             ) else jnp.int8
     engine = Engine(cfg, params, buckets=(seq_bucket,),
                     max_new_tokens=decode_n, cache_dtype=cache_dtype,
-                    decode_w4=qmode.startswith("int4"),
+                    decode_w4=qmode in ("int4", "int4g"),
+                    w4_packed=qmode == "int4gp",
                     steps_per_call=int(os.environ.get(
                         "VALLEY_BENCH_STEPS", max(decode_n - 1, 1))))
 
@@ -175,9 +269,19 @@ def main():
     prompt = [1] + span + rng.integers(
         5, 30000 if size != "tiny" else 400,
         size=seq_bucket - len(span) - 40).tolist()
-    images = rng.standard_normal(
-        (1, frames_n, 3, cfg.vision.image_size,
-         cfg.vision.image_size)).astype(np.float32)
+    # RAW uint8 frames — the serving default (worker --raw-pixels): the
+    # decoder's pixels ship 1 byte each and CLIP-normalize on device.
+    # The tunnel H2D moves ~16 MB/s, making the 8-frame transfer the
+    # dominant video first-token cost (tools/exp_first_token.py);
+    # VALLEY_BENCH_MEDIA_DTYPE=f32 restores host-normalized frames.
+    if os.environ.get("VALLEY_BENCH_MEDIA_DTYPE", "u8") == "u8":
+        images = rng.integers(
+            0, 256, (1, frames_n, 3, cfg.vision.image_size,
+                     cfg.vision.image_size)).astype(np.uint8)
+    else:
+        images = rng.standard_normal(
+            (1, frames_n, 3, cfg.vision.image_size,
+             cfg.vision.image_size)).astype(np.float32)
     gen = GenerationConfig(max_new_tokens=decode_n, do_sample=False)
 
     def run():
@@ -201,9 +305,12 @@ def main():
 
     # decode roofline: every token reads all decoder+head params once
     llama_bytes = param_bytes({"llama": params["llama"]})
-    if qmode.startswith("int4"):
+    if qmode in ("int4", "int4g"):
         # the decode scan streams the in-executable int4 VIEW of the
         # int8-stored weights: count those tensors at 0.5 B/weight
+        # (int4gp needs no adjustment: packed uint8 storage already
+        # counts 0.5 B/weight, and the unpacked int4 the scan streams
+        # has the same byte count)
         from valley_tpu.ops.quant import QUANT_TARGETS
 
         lay = params["llama"]["layers"]

@@ -373,6 +373,36 @@ def test_spec_continuous_greedy_matches_engine(engine, spec_cont):
     assert got == expect, (got, expect)
 
 
+def test_spec_pool_over_tp_int8_token_identical(engine):
+    """The full shipped multi-chip serving config composed in one test:
+    int8-quantized weights + speculative continuous batching + a
+    model-axis TP mesh must emit the same greedy tokens as the plain
+    single-device engine (worker `--tensor-parallel 2 --speculative
+    --quantize int8 --batch-window-ms -1`)."""
+    from valley_tpu.inference.speculative import SpecConfig
+    from valley_tpu.ops.quant import quantize_llama_params
+    from valley_tpu.parallel.mesh import create_mesh
+
+    cfg = C.valley_tiny()
+    qparams = quantize_llama_params(
+        {k: jax.tree.map(jnp.copy, v) for k, v in valley.init_params(
+            cfg, jax.random.key(0), jnp.float32).items()})
+    base = Engine(cfg, jax.tree.map(jnp.copy, qparams), buckets=(64,),
+                  max_new_tokens=32, cache_dtype=jnp.float32,
+                  use_flash=False, steps_per_call=2)
+    mesh = create_mesh(data=1, fsdp=2, model=2)
+    tp_eng = Engine(cfg, qparams, buckets=(64,), max_new_tokens=32,
+                    cache_dtype=jnp.float32, use_flash=False,
+                    steps_per_call=2, mesh=mesh)
+    pool = ContinuousEngine(tp_eng, rows=2, bucket=64, extra_slots=64,
+                            steps_per_call=2, speculative=True,
+                            spec=SpecConfig(draft_len=4))
+    prompt = [7, 8, 9, 7, 8, 9, 7, 8] + list(range(10, 30))
+    expect = _solo(base, prompt, 8)
+    got = _collect(pool.submit(prompt, max_new_tokens=8, eos_id=-1))
+    assert got == expect, (got, expect)
+
+
 def test_spec_continuous_join_does_not_perturb(engine, spec_cont):
     """Per-row speculative rounds: a row joining mid-decode must not
     change another row's greedy tokens even though rows advance their

@@ -359,3 +359,60 @@ def test_decode_ramp_session_identical(cfg, params):
         r2 = sess.chat(list(range(30, 36)), eos_ids=[-1])
         replies.append((r1, r2))
     assert replies[0] == replies[1]
+
+
+def test_uint8_media_device_normalize_matches_host(cfg, params, engine):
+    """RAW uint8 frames (device-side CLIP normalization — the serving
+    default, half the H2D bytes) must produce the same generation as the
+    host-normalized fp32 path: the device runs the identical fp32
+    ``(x/255 - mean)/std`` before the bf16 cast."""
+    from valley_tpu.data import transforms as T
+
+    rng = np.random.default_rng(5)
+    tok = cfg.tokens
+    span = [tok.im_start] + [tok.im_patch] * cfg.num_patches + \
+        [tok.im_end] + [tok.vi_start] + [tok.vi_frame] * 2 + [tok.vi_end]
+    prompt = [1] + span + list(range(10, 22))
+    u8 = rng.integers(0, 256, (1, 2, 3, cfg.vision.image_size,
+                               cfg.vision.image_size)).astype(np.uint8)
+    mean = np.asarray(T.CLIP_MEAN, np.float32).reshape(1, 1, 3, 1, 1)
+    std = np.asarray(T.CLIP_STD, np.float32).reshape(1, 1, 3, 1, 1)
+    host = (u8.astype(np.float32) / 255.0 - mean) / std
+
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False)
+    got_u8 = [int(t[0]) for t in engine.generate_tokens(
+        [prompt], u8, gen, eos_ids=[-1])]
+    got_host = [int(t[0]) for t in engine.generate_tokens(
+        [prompt], host, gen, eos_ids=[-1])]
+    assert got_u8 == got_host
+
+    # logit-level check through the jittable forward
+    lg_u8 = valley.forward(params, cfg, jnp.asarray([prompt]),
+                           jnp.asarray(u8))
+    lg_host = valley.forward(params, cfg, jnp.asarray([prompt]),
+                             jnp.asarray(host, jnp.float32))
+    np.testing.assert_allclose(np.asarray(lg_u8), np.asarray(lg_host),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_uint8_media_frame_bucket_padding(cfg, params):
+    """uint8 frames pad the frame axis with uint8 zeros under frame
+    bucketing (masked out of pooling) without dtype promotion."""
+    eng = Engine(cfg, params, buckets=(64,), max_new_tokens=8,
+                 cache_dtype=jnp.float32, use_flash=False,
+                 frame_buckets=(4,), raw_media=True)
+    tok = cfg.tokens
+    span = [tok.im_start] + [tok.im_patch] * cfg.num_patches + \
+        [tok.im_end] + [tok.vi_start] + [tok.vi_frame] * 2 + [tok.vi_end]
+    prompt = [1] + span + list(range(10, 22))
+    u8 = np.random.default_rng(3).integers(
+        0, 256, (1, 2, 3, cfg.vision.image_size,
+                 cfg.vision.image_size)).astype(np.uint8)
+    imgs, mask, has = eng._prepare_images(u8, 1)
+    assert has and imgs.dtype == jnp.uint8 and imgs.shape[1] == 4
+    assert mask is not None and bool(mask[0, :2].all()) \
+        and not bool(mask[0, 2:].any())
+    toks = [int(t[0]) for t in eng.generate_tokens(
+        [prompt], u8, GenerationConfig(max_new_tokens=4, do_sample=False),
+        eos_ids=[-1])]
+    assert len(toks) == 4

@@ -417,3 +417,81 @@ def test_act8_rejects_int4_and_groups():
         quantize_llama_params(w, bits=4, act8=True)
     with _pytest.raises(ValueError):
         quantize_llama_params(w, group_size=4, act8=True)
+
+
+# -- nibble-packed int4 storage (ops/quant.pack_int4_params) -------------
+
+
+def test_pack_unpack_nibbles_roundtrip():
+    from valley_tpu.ops.quant import _pack_nibbles, _unpack_nibbles
+
+    rng = np.random.default_rng(9)
+    # stacked layer layout (L, out, in): pack along the contraction axis
+    w = jnp.asarray(rng.integers(-7, 8, (3, 8, 16)), jnp.int8)
+    p = _pack_nibbles(w, axis=-1)
+    assert p.dtype == jnp.uint8 and p.shape == (3, 8, 8)
+    back = _unpack_nibbles(p, axis=-1)
+    assert back.dtype == jnp.int4
+    np.testing.assert_array_equal(np.asarray(back.astype(jnp.int8)),
+                                  np.asarray(w))
+    # lm_head layout (in, out): pack along axis -2
+    h = jnp.asarray(rng.integers(-7, 8, (16, 10)), jnp.int8)
+    ph = _pack_nibbles(h, axis=-2)
+    assert ph.shape == (8, 10)
+    backh = _unpack_nibbles(ph, axis=-2)
+    np.testing.assert_array_equal(np.asarray(backh.astype(jnp.int8)),
+                                  np.asarray(h))
+
+
+def test_pack_int4_rejects_int8_range_tree(cfg, params):
+    from valley_tpu.ops.quant import pack_int4_params
+
+    q8 = quantize_llama_params(jax.tree.map(jnp.copy, params))  # bits=8
+    with pytest.raises(ValueError, match="quantize with bits=4"):
+        pack_int4_params(q8)
+
+
+def test_w4_packed_engine_matches_int4g(cfg, params):
+    """int4gp (nibble-packed storage, unpack view in EVERY executable)
+    is token-identical to int4g (int8 storage + decode-only int4 view):
+    the unpacked values are bit-equal, so prefill/decode math agrees."""
+    from valley_tpu.ops.quant import pack_int4_params
+
+    gsize = cfg.text.hidden_size // 2
+    q = quantize_llama_params(jax.tree.map(jnp.copy, params), bits=4,
+                              group_size=gsize)
+    qp = pack_int4_params(jax.tree.map(jnp.copy, q))
+    lay = qp["llama"]["layers"]
+    assert lay["wq"].dtype == jnp.uint8
+    assert lay["wq"].shape[-1] == q["llama"]["layers"]["wq"].shape[-1] // 2
+
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False)
+    prompt = list(range(10, 30))
+    base = Engine(cfg, q, buckets=(64,), max_new_tokens=8,
+                  cache_dtype=jnp.float32, use_flash=False, decode_w4=True)
+    expect = [int(t[0]) for t in base.generate_tokens([prompt], gen=gen,
+                                                      eos_ids=[-1])]
+    packed = Engine(cfg, qp, buckets=(64,), max_new_tokens=8,
+                    cache_dtype=jnp.float32, use_flash=False,
+                    w4_packed=True)
+    got = [int(t[0]) for t in packed.generate_tokens([prompt], gen=gen,
+                                                     eos_ids=[-1])]
+    assert got == expect
+
+    # session extension + speculative compose over packed storage
+    from valley_tpu.inference.engine import ChatSession
+    from valley_tpu.inference.speculative import SpecConfig, SpecDecoder
+
+    sess = ChatSession(packed, gen)
+    r1 = sess.chat(prompt, eos_ids=[-1])
+    assert r1 == expect
+    dec = SpecDecoder(packed, SpecConfig(draft_len=4, rounds_per_call=2))
+    spec = list(dec.generate_tokens(prompt, None, gen, eos_ids=[-1]))
+    assert spec == expect
+
+
+def test_w4_packed_engine_rejects_unpacked_tree(cfg, params):
+    q = quantize_llama_params(jax.tree.map(jnp.copy, params), bits=4)
+    with pytest.raises(ValueError, match="not nibble-packed"):
+        Engine(cfg, q, buckets=(64,), max_new_tokens=8,
+               cache_dtype=jnp.float32, use_flash=False, w4_packed=True)

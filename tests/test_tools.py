@@ -191,3 +191,53 @@ def test_step_timer():
     s = t.summary()
     assert s["step_time_mean_s"] >= 0
     assert "steps_per_s" in s
+
+
+# -- bench.py closed-form quantized perf weights -------------------------
+
+@pytest.mark.parametrize("qmode", ["int8", "int8a8", "int4g", "int4gp"])
+def test_bench_perf_quant_params_matches_quantizer(qmode):
+    """bench._perf_quant_params (the 13B builder that avoids the 26 GB
+    bf16 transient) must be BIT-IDENTICAL to building the constant bf16
+    tree and running quantize_llama_params(+pack_int4_params) on it."""
+    import importlib.util
+
+    import jax
+    import jax.numpy as jnp
+
+    from valley_tpu import config as C
+    from valley_tpu.models import valley
+    from valley_tpu.ops.quant import (pack_int4_params,
+                                      quantize_llama_params)
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    cfg = C.valley_tiny()
+    shapes = jax.eval_shape(
+        lambda k: valley.init_params(cfg, k, dtype=jnp.bfloat16,
+                                     fused=True), jax.random.key(0))
+    ref = jax.tree.map(lambda s: jnp.full(s.shape, 0.008, s.dtype),
+                       shapes)
+    ref = quantize_llama_params(
+        ref, bits=4 if qmode.startswith("int4") else 8,
+        group_size=128 if qmode in ("int4g", "int4gp") else 0,
+        act8=qmode == "int8a8")
+    if qmode == "int4gp":
+        ref = pack_int4_params(ref)
+
+    got = bench._perf_quant_params(cfg, fused=True, qmode=qmode)
+
+    ref_flat = jax.tree_util.tree_flatten_with_path(ref)[0]
+    got_flat = jax.tree_util.tree_flatten_with_path(got)[0]
+    assert [p for p, _ in ref_flat] == [p for p, _ in got_flat]
+    for (path, a), (_, b) in zip(ref_flat, got_flat):
+        assert a.shape == b.shape and a.dtype == b.dtype, path
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32) if a.dtype != jnp.uint8
+            else np.asarray(a),
+            np.asarray(b, np.float32) if b.dtype != jnp.uint8
+            else np.asarray(b), err_msg=str(path))

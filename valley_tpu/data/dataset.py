@@ -41,11 +41,18 @@ logger = logging.getLogger(__name__)
 
 
 def preprocess_image(image, crop_size: int = 224,
-                     scale_size: int = 224) -> np.ndarray:
+                     scale_size: int = 224,
+                     raw_pixels: bool = False) -> np.ndarray:
     """PIL image / HxWx3 array -> (3, H, W) CLIP-normalized fp32 (the
-    equivalent of `CLIPImageProcessor.preprocess` on the hot path)."""
+    equivalent of `CLIPImageProcessor.preprocess` on the hot path).
+    ``raw_pixels=True`` skips normalization and returns uint8 for
+    device-side CLIP normalization (`valley.encode_images`)."""
     frame = np.asarray(image.convert("RGB") if hasattr(image, "convert")
                        else image)
+    if raw_pixels:
+        out = T.Compose([T.Resize(scale_size),
+                         T.CenterCrop(crop_size)])([frame])
+        return np.transpose(np.asarray(out[0], np.uint8), (2, 0, 1))
     clip = T.Compose([
         T.Resize(scale_size),
         T.CenterCrop(crop_size),

@@ -141,6 +141,15 @@ def hot_path_transform(crop_size: int = 224, scale_size: int = 256):
     ])
 
 
+def _raw_clip(frames, crop_size: int, scale_size: int) -> np.ndarray:
+    """Resize+crop only -> (C, T, H, W) uint8 (device-side normalization
+    path: `valley.encode_images` CLIP-normalizes uint8 frames on device,
+    halving the host->device transfer vs bf16-normalized pixels)."""
+    pipe = T.Compose([T.Resize(scale_size), T.CenterCrop(crop_size)])
+    out = np.stack([np.asarray(f, np.uint8) for f in pipe(frames)])
+    return np.transpose(out, (3, 0, 1, 2))          # (C, T, H, W)
+
+
 def load_video(path: str,
                image_processor=None,
                frame_mode: str = "fixed",
@@ -148,21 +157,29 @@ def load_video(path: str,
                fps_number: float = 0.5,
                frame_process_method: str = "centercrop",
                crop_size: int = 224,
-               scale_size: int = 256) -> np.ndarray:
+               scale_size: int = 256,
+               raw_pixels: bool = False) -> np.ndarray:
     """Decode + sample + preprocess a video file or frame directory.
 
     Returns (C, T, H, W) fp32 — same layout as the reference (callers
     permute to (T, C, H, W) for the model, `dataset.py:122`).
+    ``raw_pixels=True`` skips CLIP normalization and returns uint8
+    (serving path: normalization runs on device, `valley.encode_images`;
+    1 byte/pixel over the host->device link instead of 2).
     """
     if os.path.isfile(path):
         if frame_mode != "adaptive" and \
                 not os.environ.get("VALLEY_DISABLE_NATIVE"):
             try:
                 # One-pass native C++ decode+preprocess (demux/decode/
-                # resize/crop/normalize) — verified ~1e-7 vs this python
-                # pipeline.
+                # resize/crop[/normalize]) — verified ~1e-7 vs this
+                # python pipeline.
                 from valley_tpu import native
 
+                if raw_pixels:
+                    return native.decode_preprocess_raw(
+                        path, frame_mode, fixed_frame_number, fps_number,
+                        scale_size, crop_size)
                 return native.decode_preprocess(
                     path, frame_mode, fixed_frame_number, fps_number,
                     scale_size, crop_size)
@@ -170,6 +187,8 @@ def load_video(path: str,
                 logger.debug("native decode unavailable (%s); "
                              "falling back to cv2/imageio", e)
         frames = _load_file(path, frame_mode, fixed_frame_number, fps_number)
+        if raw_pixels:
+            return _raw_clip(frames, crop_size, scale_size)
         return hot_path_transform(crop_size, scale_size)(frames)
 
     # Directory of frame images (`data_util.py:283-302`).
@@ -203,6 +222,8 @@ def load_video(path: str,
             [Image.fromarray(f) for f in frames],
             return_tensors="pt")["pixel_values"]
         return np.transpose(np.asarray(pixel), (1, 0, 2, 3))
+    if raw_pixels:
+        return _raw_clip(frames, crop_size, scale_size)
     return hot_path_transform(crop_size, scale_size)(frames)
 
 

@@ -221,7 +221,11 @@ class ContinuousEngine:
                      temps, top_ps, *, n_steps: int):
         cfg = self.engine.cfg
         b = token.shape[0]
-        if getattr(self.engine, "decode_w4", False):
+        if getattr(self.engine, "w4_packed", False):
+            from valley_tpu.ops.quant import unpack_int4_view
+
+            params = unpack_int4_view(params)
+        elif getattr(self.engine, "decode_w4", False):
             from valley_tpu.ops.quant import int4_decode_view
 
             params = int4_decode_view(params)
@@ -292,7 +296,11 @@ class ContinuousEngine:
         d_len = self._spec.draft_len
         g = self._spec.ngram
         b = token.shape[0]
-        if getattr(self.engine, "decode_w4", False):
+        if getattr(self.engine, "w4_packed", False):
+            from valley_tpu.ops.quant import unpack_int4_view
+
+            params = unpack_int4_view(params)
+        elif getattr(self.engine, "decode_w4", False):
             from valley_tpu.ops.quant import int4_decode_view
 
             params = int4_decode_view(params)
@@ -422,8 +430,10 @@ class ContinuousEngine:
             # the pool too; always warm it
             frame_list = frame_list + (0,)
         v = self.engine.cfg.vision
+        media_dt = (np.uint8 if getattr(self.engine, "raw_media", False)
+                    else np.float32)
         media = [np.zeros((1, t, 3, v.image_size, v.image_size),
-                          np.float32) if t else None
+                          media_dt) if t else None
                  for t in frame_list]
         # batched admission executables, compiled deterministically
         # (grouping via the queue depends on arrival timing): run each
@@ -633,8 +643,13 @@ class ContinuousEngine:
             ids[i, :lens[i]] = r.input_ids
         images = None
         if group[0].images is not None:
-            images = np.concatenate(
-                [np.asarray(r.images, np.float32) for r in group], axis=0)
+            # uint8 frames stay uint8 (device-side CLIP normalization,
+            # half the H2D bytes); anything else normalizes to fp32 so a
+            # mixed group can't silently upcast into a cold executable
+            arrs = [np.asarray(r.images) for r in group]
+            if any(a.dtype != np.uint8 for a in arrs):
+                arrs = [np.asarray(a, np.float32) for a in arrs]
+            images = np.concatenate(arrs, axis=0)
         images, frame_mask, has_images = eng._prepare_images(images, b)
         temps = np.asarray([r.temperature for r in group], np.float32)
         top_ps = np.asarray([r.top_p for r in group], np.float32)

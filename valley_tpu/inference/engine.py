@@ -122,8 +122,16 @@ class Engine:
                  decode_unroll: int = 1,
                  decode_kernel: Optional[bool] = None,
                  frame_buckets: Optional[Sequence[int]] = None,
-                 decode_w4: bool = False):
+                 decode_w4: bool = False,
+                 raw_media: bool = False,
+                 w4_packed: bool = False):
         self.cfg = cfg
+        # Serving media dtype: True = requests carry RAW uint8 frames
+        # (device-side CLIP normalization, half the H2D bytes — see
+        # _prepare_images).  Only warmup consults this (it must compile
+        # the executable class real traffic will hit); the serving path
+        # itself dispatches on the actual array dtype.
+        self.raw_media = raw_media
         self.mesh = mesh
         # Frame-count bucketing: pad the media frame axis up to the
         # smallest bucket that fits and pass a frame mask through the
@@ -185,6 +193,26 @@ class Engine:
         # the conversion lives inside the executable, amortized over
         # steps_per_call.
         self.decode_w4 = decode_w4
+        # Nibble-packed int4 weights (ops/quant.pack_int4_params):
+        # resident tree at 0.5 B/weight — EVERY executable (prefill /
+        # extend / decode / speculative rounds) expands to real int4
+        # once per call via unpack_int4_view.  This is how 13B serves
+        # from one 16 GB chip (worker --quantize int4gp).
+        self.w4_packed = w4_packed
+        if w4_packed:
+            if decode_w4:
+                raise ValueError("w4_packed subsumes decode_w4 — the "
+                                 "unpacked view is already int4")
+            from valley_tpu.ops.quant import QUANT_TARGETS
+
+            lay = params.get("llama", {}).get("layers", {})
+            bad = [n for n in QUANT_TARGETS
+                   if n in lay and lay[n].dtype != jnp.uint8]
+            if bad:
+                raise ValueError(
+                    f"w4_packed=True but {bad} are not nibble-packed "
+                    "uint8 — run ops.quant.pack_int4_params after "
+                    "quantize_llama_params(bits=4)")
         if decode_w4:
             _check_int4_range(params)
         if use_flash is None:
@@ -206,10 +234,31 @@ class Engine:
 
     # -- jitted bodies ---------------------------------------------------
 
+    def _weights_view(self, params, decode: bool = False):
+        """Per-executable weight view, applied INSIDE every jitted body.
+
+        ``w4_packed``: nibble-packed uint8 weights expand to real int4
+        once per call (resident tree stays 0.5 B/weight; the packed AND
+        unpacked copies coexist only for the call's duration).
+        ``decode_w4`` (unpacked int4-in-int8 storage): the int4 cast
+        applies to DECODE only — prefill/extend GEMMs read the int8
+        storage directly, exactly as before (the cast is value-exact
+        either way; only the streamed byte width differs)."""
+        if self.w4_packed:
+            from valley_tpu.ops.quant import unpack_int4_view
+
+            return unpack_int4_view(params)
+        if decode and self.decode_w4:
+            from valley_tpu.ops.quant import int4_decode_view
+
+            return int4_decode_view(params)
+        return params
+
     def _prefill_impl(self, params, input_ids, images, prompt_len, key,
                       temperature, top_p, frame_mask=None, *, bucket: int,
                       cache_len: int, do_sample: bool, has_images: bool):
         cfg = self.cfg
+        params = self._weights_view(params)
         b = input_ids.shape[0]
         embeds = valley.build_inputs_embeds(
             params, cfg, input_ids, images if has_images else None,
@@ -244,10 +293,7 @@ class Engine:
         the incoming token, ``slot0`` the next free cache slot."""
         cfg = self.cfg
         b = token.shape[0]
-        if self.decode_w4:
-            from valley_tpu.ops.quant import int4_decode_view
-
-            params = int4_decode_view(params)
+        params = self._weights_view(params, decode=True)
 
         def body(carry, _):
             token, cache, valid, seq_len, slot, key = carry
@@ -278,6 +324,7 @@ class Engine:
         next token.  The chunk attends all previously valid slots plus
         itself causally; pad slots stay invalid."""
         cfg = self.cfg
+        params = self._weights_view(params)
         b, c = input_ids.shape
         embeds = llama.embed(params["llama"], input_ids)
         positions = seq_len[:, None] + jnp.arange(c)[None, :]
@@ -355,12 +402,13 @@ class Engine:
                                               and self.frame_buckets) \
             else (frames or 1,)
         v = self.cfg.vision
+        media_dt = np.uint8 if self.raw_media else np.float32
         for b in batch_sizes:
             for bucket in self.buckets:
                 prompt = [[1] * (bucket // 2) for _ in range(b)]
                 media_passes = ([None] if not with_images else
                                 [np.zeros((b, t, 3, v.image_size,
-                                           v.image_size), np.float32)
+                                           v.image_size), media_dt)
                                  for t in frame_counts] + [None])
                 for images in media_passes:
                     for gen in gens:
@@ -369,26 +417,36 @@ class Engine:
                             pass
 
     def _prepare_images(self, images, batch: int):
-        """Host media -> (device bf16 images, frame_mask | None,
-        has_images).  bf16 on the host before transfer halves H2D bytes;
+        """Host media -> (device images, frame_mask | None, has_images).
+
+        ``uint8`` frames transfer AS uint8 (1 byte/pixel) and
+        CLIP-normalize on device (`valley.encode_images`) — the tunnel
+        H2D is the dominant video first-token cost (~16 MB/s,
+        tools/exp_first_token.py), so halving the bytes halves it.
+        Normalized float frames transfer as bf16 (half the fp32 bytes);
         with ``frame_buckets`` the frame axis pads to the smallest bucket
         that fits (frames past the true count masked out of pooling)."""
         if images is None:
             v = self.cfg.vision
             return (jnp.zeros((batch, 1, 3, v.image_size, v.image_size),
                               jnp.bfloat16), None, False)
-        arr = np.asarray(images, np.float32)
+        arr = np.asarray(images)
+        raw = arr.dtype == np.uint8
+        if not raw:
+            arr = np.asarray(arr, np.float32)
         mask = None
         if self.frame_buckets:
             t = arr.shape[1]
             tb = next((fb for fb in self.frame_buckets if t <= fb), t)
             if tb != t:
                 pad = np.zeros(arr.shape[:1] + (tb - t,) + arr.shape[2:],
-                               np.float32)
+                               arr.dtype)
                 arr = np.concatenate([arr, pad], axis=1)
             mask = np.zeros((arr.shape[0], tb), bool)
             mask[:, :t] = True
             mask = jnp.asarray(mask)
+        if raw:
+            return jnp.asarray(arr), mask, True
         return jnp.asarray(arr.astype(jnp.bfloat16)), mask, True
 
     def pick_bucket(self, length: int) -> int:

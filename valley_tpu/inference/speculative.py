@@ -228,7 +228,11 @@ class SpecDecoder:
         eng = self.engine
         cfg = eng.cfg
         d_len = self.spec.draft_len
-        if getattr(eng, "decode_w4", False):
+        if getattr(eng, "w4_packed", False):
+            from valley_tpu.ops.quant import unpack_int4_view
+
+            params = unpack_int4_view(params)
+        elif getattr(eng, "decode_w4", False):
             from valley_tpu.ops.quant import int4_decode_view
 
             params = int4_decode_view(params)

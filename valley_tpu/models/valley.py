@@ -48,12 +48,25 @@ def encode_images(params, cfg: ValleyConfig, images: jnp.ndarray,
                   frame_mask: Optional[jnp.ndarray] = None) -> VisionFeatures:
     """images: (B, T, 3, H, W) CLIP-normalized frames -> vision features.
 
+    ``uint8`` images are accepted as RAW resized/cropped pixels and
+    CLIP-normalized here, on device, in fp32 (bit-identical to the host
+    `transforms.Normalize` + bf16 cast): the serving host->device tunnel
+    moves ~16 MB/s (tools/exp_first_token.py), so shipping 1 byte/pixel
+    instead of 2 halves the dominant video first-token cost.
+
     The tower is frozen in every reference recipe
     (`valley_model.py:69`, `requires_grad_(False)`), so its activations are
     wrapped in `stop_gradient`; the projector and temporal module remain
     differentiable.  ``frame_mask``: optional (B, T) bool for batches whose
     samples have different frame counts (padding at the END of the axis).
     """
+    if images.dtype == jnp.uint8:
+        mean = jnp.asarray(clip_vit.CLIP_MEAN,
+                           jnp.float32).reshape(1, 1, 3, 1, 1)
+        std = jnp.asarray(clip_vit.CLIP_STD,
+                          jnp.float32).reshape(1, 1, 3, 1, 1)
+        images = ((images.astype(jnp.float32) / 255.0 - mean)
+                  / std).astype(jnp.bfloat16)
     b, t = images.shape[:2]
     flat = images.reshape((b * t,) + images.shape[2:])
     feats = clip_vit.encode(params["vision"], cfg.vision, flat)  # (B*T,1+P,Hv)

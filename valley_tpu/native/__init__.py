@@ -52,6 +52,13 @@ def _load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int,
     ]
+    lib.valley_decode_video_raw.restype = ctypes.c_int
+    lib.valley_decode_video_raw.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
     lib.valley_video_info.restype = ctypes.c_int
     lib.valley_video_info.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
@@ -92,4 +99,27 @@ def decode_preprocess(path: str, frame_mode: str = "fixed",
         ctypes.byref(nf), cap)
     if rc != 0:
         raise IOError(f"valley_decode_video({path}) failed: {rc}")
+    return out[:, :nf.value]
+
+
+def decode_preprocess_raw(path: str, frame_mode: str = "fixed",
+                          num_frames: int = 8, fps_number: float = 0.5,
+                          scale_size: int = 256, crop_size: int = 224,
+                          max_frames: int = 64) -> np.ndarray:
+    """Decode + resize + crop in native code WITHOUT normalization.
+    Returns (3, T, crop, crop) uint8 — 1 byte/pixel, for device-side
+    CLIP normalization (`valley.encode_images`): the serving host->device
+    tunnel is the dominant video first-token cost, so raw pixels halve
+    the transfer vs bf16-normalized frames (tools/exp_first_token.py)."""
+    lib = _load()
+    mode = 0 if frame_mode == "fixed" else 1
+    cap = num_frames if mode == 0 else max_frames
+    out = np.empty((3, cap, crop_size, crop_size), np.uint8)
+    nf = ctypes.c_int()
+    rc = lib.valley_decode_video_raw(
+        path.encode(), mode, num_frames, fps_number, scale_size, crop_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(nf), cap)
+    if rc != 0:
+        raise IOError(f"valley_decode_video_raw({path}) failed: {rc}")
     return out[:, :nf.value]

@@ -85,16 +85,14 @@ void resize_dims(int w, int h, int scale_size, int* ow, int* oh) {
 
 }  // namespace
 
-extern "C" {
-
-// Returns 0 on success.  out must hold 3 * max_frames * crop * crop floats.
-// frame_mode: 0 = fixed (num_frames uniform via linspace), 1 = fps
-// (stride round(fps)/fps_number).  *out_frames receives the number of
-// frames written (always num_frames for fixed mode).
-int valley_decode_video(const char* path, int frame_mode, int num_frames,
-                        double fps_number, int scale_size, int crop_size,
-                        const float* mean3, const float* std3, float* out,
-                        int* out_frames, int max_frames) {
+// Shared decode+resize+crop loop.  Exactly one of outf / outu is set:
+// outf -> CLIP-normalized fp32 (the original path), outu -> raw uint8
+// pixels (serving ships 1 byte/pixel over the host->device link and
+// normalizes on device — see valley_tpu/models/valley.py encode_images).
+static int decode_impl(const char* path, int frame_mode, int num_frames,
+                       double fps_number, int scale_size, int crop_size,
+                       const float* mean3, const float* std3, float* outf,
+                       uint8_t* outu, int* out_frames, int max_frames) {
   VideoReader vr;
   int rc = vr.open(path);
   if (rc != 0) return rc;
@@ -144,17 +142,24 @@ int valley_decode_video(const char* path, int frame_mode, int num_frames,
   const int T = (int)want.size();
   const size_t plane = (size_t)T * crop_size * crop_size;
   auto emit = [&](int t_slot) {
-    // rgb (rh, rw, 3) -> out[c][t][y][x], crop window, normalized.
+    // rgb (rh, rw, 3) -> out[c][t][y][x], crop window.
     for (int c = 0; c < 3; ++c) {
-      const float inv_std = 1.0f / std3[c];
-      const float m = mean3[c];
-      float* dst = out + (size_t)c * plane +
-                   (size_t)t_slot * crop_size * crop_size;
+      const float inv_std = outf ? 1.0f / std3[c] : 0.0f;
+      const float m = outf ? mean3[c] : 0.0f;
+      const size_t base =
+          (size_t)c * plane + (size_t)t_slot * crop_size * crop_size;
       for (int y = 0; y < crop_size; ++y) {
         const uint8_t* row = rgb.data() + ((size_t)(x0 + y) * rw + y0) * 3;
-        for (int x = 0; x < crop_size; ++x) {
-          dst[(size_t)y * crop_size + x] =
-              ((float)row[(size_t)x * 3 + c] / 255.0f - m) * inv_std;
+        if (outf) {
+          float* dst = outf + base + (size_t)y * crop_size;
+          for (int x = 0; x < crop_size; ++x) {
+            dst[x] = ((float)row[(size_t)x * 3 + c] / 255.0f - m) * inv_std;
+          }
+        } else {
+          uint8_t* dst = outu + base + (size_t)y * crop_size;
+          for (int x = 0; x < crop_size; ++x) {
+            dst[x] = row[(size_t)x * 3 + c];
+          }
         }
       }
     }
@@ -215,12 +220,15 @@ int valley_decode_video(const char* path, int frame_mode, int num_frames,
   if (last_written_slot >= 0) {
     for (size_t s = wi; s < want.size(); ++s) {
       for (int c = 0; c < 3; ++c) {
-        const float* src = out + (size_t)c * plane +
-                           (size_t)last_written_slot * crop_size * crop_size;
-        float* dst =
-            out + (size_t)c * plane + (size_t)s * crop_size * crop_size;
-        std::memcpy(dst, src,
-                    sizeof(float) * (size_t)crop_size * crop_size);
+        const size_t src_off = (size_t)c * plane +
+            (size_t)last_written_slot * crop_size * crop_size;
+        const size_t dst_off =
+            (size_t)c * plane + (size_t)s * crop_size * crop_size;
+        const size_t n = (size_t)crop_size * crop_size;
+        if (outf)
+          std::memcpy(outf + dst_off, outf + src_off, sizeof(float) * n);
+        else
+          std::memcpy(outu + dst_off, outu + src_off, n);
       }
       ++written;
     }
@@ -233,6 +241,32 @@ int valley_decode_video(const char* path, int frame_mode, int num_frames,
   sws_freeContext(sws);
   *out_frames = (err == 0) ? T : 0;
   return err;
+}
+
+extern "C" {
+
+// Returns 0 on success.  out must hold 3 * max_frames * crop * crop floats.
+// frame_mode: 0 = fixed (num_frames uniform via linspace), 1 = fps
+// (stride round(fps)/fps_number).  *out_frames receives the number of
+// frames written (always num_frames for fixed mode).
+int valley_decode_video(const char* path, int frame_mode, int num_frames,
+                        double fps_number, int scale_size, int crop_size,
+                        const float* mean3, const float* std3, float* out,
+                        int* out_frames, int max_frames) {
+  return decode_impl(path, frame_mode, num_frames, fps_number, scale_size,
+                     crop_size, mean3, std3, out, nullptr, out_frames,
+                     max_frames);
+}
+
+// Raw-pixel variant: out holds 3 * max_frames * crop * crop uint8 —
+// un-normalized resized/cropped RGB planes (device-side normalization).
+int valley_decode_video_raw(const char* path, int frame_mode,
+                            int num_frames, double fps_number,
+                            int scale_size, int crop_size, uint8_t* out,
+                            int* out_frames, int max_frames) {
+  return decode_impl(path, frame_mode, num_frames, fps_number, scale_size,
+                     crop_size, nullptr, nullptr, nullptr, out, out_frames,
+                     max_frames);
 }
 
 int valley_video_info(const char* path, long* num_frames, double* fps) {

@@ -203,6 +203,107 @@ def int4_decode_view(params):
     return params
 
 
+def _pack_nibbles(w: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """int8 values in [-7, 7] -> uint8 nibble pairs along ``axis``
+    (which must have even length): out[k] = lo(2k) | hi(2k+1) << 4."""
+    if w.shape[axis] % 2:
+        raise ValueError(f"pack axis {axis} has odd length {w.shape[axis]}")
+    if axis in (-1, w.ndim - 1):
+        lo, hi = w[..., 0::2], w[..., 1::2]
+    elif axis in (-2, w.ndim - 2) and w.ndim == 2:
+        lo, hi = w[0::2, :], w[1::2, :]
+    else:
+        raise ValueError(f"unsupported pack axis {axis} for ndim {w.ndim}")
+    lo_u = (lo & 0xF).astype(jnp.uint8)
+    hi_u = (hi & 0xF).astype(jnp.uint8)
+    return lo_u | (hi_u << 4)
+
+
+def _unpack_nibbles(p: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """uint8 nibble pairs -> REAL int4 along ``axis`` (inverse of
+    `_pack_nibbles`; runs INSIDE executables — int4 cannot cross jit
+    boundaries on this toolchain, tools/exp_int4.py)."""
+    lo = (p & 0xF).astype(jnp.int8)
+    hi = (p >> 4).astype(jnp.int8)
+    # sign-extend the low 4 bits: ((n ^ 8) - 8) maps [0,15] -> [-8,7]
+    lo = (lo ^ 8) - 8
+    hi = (hi ^ 8) - 8
+    if axis in (-1, p.ndim - 1):
+        w = jnp.stack([lo, hi], axis=-1).reshape(p.shape[:-1]
+                                                 + (2 * p.shape[-1],))
+    else:  # axis -2, 2-D (lm_head)
+        w = jnp.stack([lo, hi], axis=1).reshape(2 * p.shape[0], p.shape[1])
+    return w.astype(jnp.int4)
+
+
+def pack_int4_params(params):
+    """int8-stored 4-bit weights -> nibble-packed uint8 (2 values/byte).
+
+    Halves the device RESIDENCY of an int4-quantized tree: device-native
+    S4 buffers crash this toolchain's jit-boundary transfer layer
+    (tools/exp_int4.py), so 4-bit weights are otherwise forced to int8
+    storage — 1 byte/weight.  Packed, a 13B int4g tree drops from
+    ~12.7 GB to ~6.4 GB: the difference between OOM and serving 13B
+    from ONE 16 GB v5e where the reference needs >= 30 GB of VRAM
+    (`/root/reference/README.md:91`, `valley/serve/model_worker.py:55-58`).
+
+    Executables expand with `unpack_int4_view` (inside the jit) to real
+    int4 once per fused call; the multi-step decode scan then streams
+    int4 bytes exactly like `int4_decode_view`.  Packing runs along each
+    tensor's contraction axis (last for the (out, in) layers, first for
+    the (in, out) lm_head — both even for every LLaMA geometry).  Values
+    must already be int4-range (``quantize_llama_params(bits=4)``);
+    validated here since a packed tree can no longer be range-checked.
+
+    Serving opt-in: worker ``--quantize int4gp`` (group-128 scales +
+    packed storage + `Engine(w4_packed=True)`).
+    """
+    params = dict(params)
+    llama_p = dict(params["llama"])
+    layers = dict(llama_p["layers"])
+    for name in QUANT_TARGETS:
+        if name in layers and layers[name].dtype == jnp.int8:
+            w = layers[name]
+            hi = int(jnp.max(w))
+            lo = int(jnp.min(w))
+            if hi > 7 or lo < -7:
+                raise ValueError(
+                    f"pack_int4_params: {name} holds values in "
+                    f"[{lo}, {hi}] — quantize with bits=4 first")
+            layers[name] = jax.jit(_pack_nibbles,
+                                   static_argnames=("axis",))(w, axis=-1)
+    llama_p["layers"] = layers
+    head = llama_p.get("lm_head")
+    if head is not None and head.dtype == jnp.int8:
+        if int(jnp.max(head)) > 7 or int(jnp.min(head)) < -7:
+            raise ValueError("pack_int4_params: lm_head out of int4 range")
+        llama_p["lm_head"] = jax.jit(
+            _pack_nibbles, static_argnames=("axis",))(head, axis=-2)
+    params["llama"] = llama_p
+    jax.block_until_ready(params["llama"])
+    return params
+
+
+def unpack_int4_view(params):
+    """Nibble-packed uint8 weights -> real int4 arrays, for use INSIDE
+    an executable (prefill, extend, decode, speculative rounds): the
+    one-time expansion amortizes over the fused call, and the decode
+    scan's steps stream int4 bytes (2.2x faster weight reads than int8,
+    tools/exp_int4b.py) while the RESIDENT tree stays at 0.5 B/weight."""
+    params = dict(params)
+    llama_p = dict(params["llama"])
+    layers = dict(llama_p["layers"])
+    for name in QUANT_TARGETS:
+        if name in layers and layers[name].dtype == jnp.uint8:
+            layers[name] = _unpack_nibbles(layers[name], axis=-1)
+    llama_p["layers"] = layers
+    head = llama_p.get("lm_head")
+    if head is not None and head.dtype == jnp.uint8:
+        llama_p["lm_head"] = _unpack_nibbles(head, axis=-2)
+    params["llama"] = llama_p
+    return params
+
+
 def _int8_matvec_kernel(x_ref, w_ref, s_ref, o_ref):
     # x (B, H) bf16; w (H, BF) int8; s (1, BF); o (B, BF)
     w = w_ref[...].astype(x_ref.dtype)

@@ -67,7 +67,8 @@ class ModelWorker:
                  prefix_cache: int = 0,
                  admit_batch: int = 4,
                  hbm_budget_gb: Optional[float] = None,
-                 context_len: Optional[int] = None):
+                 context_len: Optional[int] = None,
+                 raw_pixels: bool = True):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = str(uuid.uuid4())[:6]
@@ -76,6 +77,12 @@ class ModelWorker:
         self.tokenizer = tokenizer
         self.num_frames = num_frames
         self.frame_mode = frame_mode
+        # Media loaders emit RAW uint8 frames; CLIP normalization runs on
+        # device (`valley.encode_images`).  Halves the host->device
+        # transfer — the dominant video first-token cost on a ~16 MB/s
+        # link (tools/exp_first_token.py).  --no-raw-pixels restores
+        # host-side fp32 normalization + bf16 transfer.
+        self.raw_pixels = raw_pixels
         self.stream_interval = stream_interval
         # prompt clamp (reference parity: `model_worker.py:92` caps at the
         # model's 2048).  --context-len overrides for long-context
@@ -263,7 +270,8 @@ class ModelWorker:
                         + [tok.im_end] + [tok.vi_start]
                         + [tok.vi_frame] * t + [tok.vi_end])
                 images = np.zeros((1, t, 3, v.image_size, v.image_size),
-                                  np.float32)
+                                  np.uint8 if self.raw_pixels
+                                  else np.float32)
                 pc = PrefixCache(eng, [1] + span, images,
                                  extra_slots=_PREFIX_SPAWN_EXTRA)
                 for gen in gens:
@@ -420,7 +428,8 @@ class ModelWorker:
         size = self.engine.cfg.vision.image_size
         frames = [preprocess_image(
             Image.open(BytesIO(base64.b64decode(img))).convert("RGB"),
-            crop_size=size, scale_size=size) for img in images_b64]
+            crop_size=size, scale_size=size,
+            raw_pixels=self.raw_pixels) for img in images_b64]
         arr = np.stack(frames)[None]  # (1, T, 3, H, W)
         prompt = prompt.replace(DEFAULT_IMAGE_TOKEN,
                                 self._media_replace_token(len(frames)))
@@ -447,7 +456,8 @@ class ModelWorker:
         clip = load_video(video, frame_mode=self.frame_mode,
                           fixed_frame_number=self.num_frames,
                           crop_size=size,
-                          scale_size=max(size * 256 // 224, size))
+                          scale_size=max(size * 256 // 224, size),
+                          raw_pixels=self.raw_pixels)
         frames = np.transpose(clip, (1, 0, 2, 3))[None]  # (1, T, 3, H, W)
         prompt = prompt.replace(
             DEFAULT_VIDEO_TOKEN, self._media_replace_token(frames.shape[1]))
@@ -922,19 +932,25 @@ def load_engine(args):
 
         params = fuse_llama_params(params)
     if getattr(args, "quantize", None) in ("int8", "int8a8", "int4",
-                                           "int4g"):
-        from valley_tpu.ops.quant import quantize_llama_params
+                                           "int4g", "int4gp"):
+        from valley_tpu.ops.quant import (pack_int4_params,
+                                          quantize_llama_params)
 
         params = quantize_llama_params(
             params, bits=4 if args.quantize.startswith("int4") else 8,
-            # int4g: one scale per 128 inputs — 4x lower reconstruction
-            # error than per-channel at the same decode speed (the
-            # block-diagonal GEMV formulation, models/llama._proj;
-            # 121.9 vs 123.8 tok/s same-window, tools/exp_int4_group.py)
-            group_size=128 if args.quantize == "int4g" else 0,
+            # int4g(p): one scale per 128 inputs — 4x lower
+            # reconstruction error than per-channel at the same decode
+            # speed (the block-diagonal GEMV formulation,
+            # models/llama._proj; 121.9 vs 123.8 tok/s same-window,
+            # tools/exp_int4_group.py)
+            group_size=128 if args.quantize in ("int4g", "int4gp") else 0,
             # int8a8: W8A8 prefill on the int8 MXU path — decode stays
             # bit-identical to int8 (llama._proj sequence-length gate)
             act8=args.quantize == "int8a8")
+        if args.quantize == "int4gp":
+            # nibble-packed storage: resident weights at 0.5 B/weight —
+            # 13B serves from ONE 16 GB chip (ops/quant.pack_int4_params)
+            params = pack_int4_params(params)
     if getattr(args, "quantize_vision", None) in ("int8", "int8a8"):
         # the frozen CLIP tower only runs prefill-shaped matmuls, so
         # int8a8 rides the int8 MXU on every tower call (clip_vit._dot)
@@ -973,9 +989,11 @@ def load_engine(args):
                                        or 32),
                     decode_ramp=tuple(int(s) for s in ramp.split(","))
                     if ramp else (),
-                    decode_w4=str(getattr(args, "quantize", None) or
-                                  "").startswith("int4"),
-                    frame_buckets=fbt, mesh=mesh)
+                    decode_w4=getattr(args, "quantize", None) in
+                    ("int4", "int4g"),
+                    w4_packed=getattr(args, "quantize", None) == "int4gp",
+                    frame_buckets=fbt, mesh=mesh,
+                    raw_media=bool(getattr(args, "raw_pixels", True)))
     return engine, tokenizer
 
 
@@ -1010,6 +1028,15 @@ def main():
                              "covers single-image, multi-image and "
                              "8-frame video without recompiles; pass "
                              "'off' for exact shapes")
+    parser.add_argument("--no-raw-pixels", dest="raw_pixels",
+                        action="store_false", default=True,
+                        help="load media as host-normalized bf16 frames "
+                             "instead of the default RAW uint8 + "
+                             "device-side CLIP normalization (uint8 "
+                             "halves the host->device transfer — the "
+                             "dominant video first-token cost; the "
+                             "normalization math is identical fp32 "
+                             "either way)")
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile every bucket before registering")
     parser.add_argument("--steps-per-call", type=int, default=32,
@@ -1026,7 +1053,8 @@ def main():
                              "keeping steady-state throughput; 'off' "
                              "disables")
     parser.add_argument("--quantize", type=str, default=None,
-                        choices=["int8", "int8a8", "int4", "int4g"],
+                        choices=["int8", "int8a8", "int4", "int4g",
+                                 "int4gp"],
                         help="weight-only decoder quantization: int8 "
                              "(~1.8x decode), int8a8 (int8 decode + "
                              "W8A8 prefill on the int8 MXU — measured "
@@ -1038,7 +1066,10 @@ def main():
                              "int4g (group-128 "
                              "scales — the recommended 4-bit mode: same "
                              "decode speed as per-channel at 4x lower "
-                             "reconstruction error), or int4 "
+                             "reconstruction error), int4gp (int4g "
+                             "values NIBBLE-PACKED to 0.5 B/weight "
+                             "resident — serves 13B from one 16 GB "
+                             "chip), or int4 "
                              "(per-channel scales, fastest by ~1.5%%)")
     parser.add_argument("--quantize-vision", type=str, default=None,
                         choices=["int8", "int8a8"],
@@ -1137,7 +1168,8 @@ def main():
                          prefix_cache=args.prefix_cache,
                          admit_batch=args.admit_batch,
                          hbm_budget_gb=args.hbm_budget,
-                         context_len=args.context_len)
+                         context_len=args.context_len,
+                         raw_pixels=args.raw_pixels)
     if args.warmup and worker.continuous is not None:
         # warm EVERY frame bucket through the pool: media admission
         # prefills are per-frame-geometry executables, and mixed
