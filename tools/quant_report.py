@@ -4,7 +4,9 @@ against documented thresholds — the automated validator the int4 flag
 previously lacked ("validate quality on your checkpoint").
 
 Three measurement levels per mode (int8 / int8a8 / int4 / int4
-group-wise):
+group-wise / int4gp = group-wise nibble-packed, same values as int4g128
+but measured through the real packed pipeline — unpack view in every
+executable):
 
 1. **Per-tensor reconstruction** — relative RMS error of
    dequant(quant(W)) vs W for every quant target (mean/max over the
@@ -221,27 +223,50 @@ def e2e_capture(cfg, host_params, mode: str, prompts, new_tokens: int,
         # W8A8: same weights as int8; prefill-shaped matmuls (seq >=
         # llama._A8_MIN_SEQ) additionally quantize activations per token
         params = quantize_llama_params(params, bits=8, act8=True)
-    elif mode == "int4":
+    w4_packed = False
+    if mode == "int4":
         params = quantize_llama_params(params, bits=4)
         decode_w4 = True
+    elif mode == "int4gp":
+        # nibble-packed int4g: same VALUES as int4g128 (pack/unpack is
+        # exact), but the gate runs the real packed pipeline — unpack
+        # view in every executable — so a packing bug can't hide
+        from valley_tpu.ops.quant import pack_int4_params
+
+        params = quantize_llama_params(params, bits=4, group_size=128)
+        params = pack_int4_params(params)
+        w4_packed = True
     elif mode.startswith("int4g"):
         params = quantize_llama_params(params, bits=4,
                                        group_size=int(mode[5:]))
-    elif mode != "bf16":
+    elif mode not in ("bf16", "int8", "int8a8"):
         raise ValueError(mode)
+
+    def fwd(p, a, px_):
+        if w4_packed:
+            # packed uint8 weights must expand inside the executable
+            from valley_tpu.ops.quant import unpack_int4_view
+
+            p = unpack_int4_view(p)
+        return valley.forward(p, cfg, a, px_, use_flash=False)
+
+    fwd_media = jax.jit(fwd)
+    fwd_text = jax.jit(lambda p, a: fwd(p, a, None))
 
     logits_out, tokens_out = [], []
     for ids, pixels in prompts:
         arr = jnp.asarray([ids])
-        px = None if pixels is None else jnp.asarray(pixels)
-        lg = valley.forward(params, cfg, arr, px, use_flash=False)
+        if pixels is None:
+            lg = fwd_text(params, arr)
+        else:
+            lg = fwd_media(params, arr, jnp.asarray(pixels))
         logits_out.append(np.asarray(lg[0], np.float32))
 
     bucket = 1 << (max(len(i) for i, _ in prompts) - 1).bit_length()
     eng = Engine(cfg, params, buckets=(max(bucket, 64),),
                  max_new_tokens=new_tokens,
                  cache_dtype=jnp.bfloat16, use_flash=use_flash,
-                 decode_w4=decode_w4)
+                 decode_w4=decode_w4, w4_packed=w4_packed)
     gen = GenerationConfig(max_new_tokens=new_tokens, do_sample=False)
     for ids, pixels in prompts:
         toks = [int(t[0]) for t in
@@ -312,7 +337,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="random:tiny",
                     help="random:tiny | random:7b | HF checkpoint dir")
-    ap.add_argument("--modes", default="int8,int8a8,int4,int4g128")
+    ap.add_argument("--modes",
+                    default="int8,int8a8,int4,int4g128,int4gp")
     ap.add_argument("--new-tokens", type=int, default=24)
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--max-recon", type=float, default=None)
@@ -347,7 +373,12 @@ def main():
     for mode in args.modes.split(","):
         mode = mode.strip()
         bits = 4 if mode.startswith("int4") else 8
-        gsize = int(mode[5:]) if mode.startswith("int4g") else 0
+        if mode == "int4gp":            # packed int4g128: same values
+            gsize = 128
+        elif mode.startswith("int4g"):
+            gsize = int(mode[5:])
+        else:
+            gsize = 0
         if gsize:
             k = host["llama"]["layers"]["w_down"].shape[-1]
             if k % gsize:

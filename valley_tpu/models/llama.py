@@ -211,6 +211,12 @@ def _proj(lp, name: str, x: jnp.ndarray, lora_rng=None,
     matmul.  ``W`` is stored (out, in) — torch nn.Linear layout, see
     init_params."""
     w = lp[name]
+    if w.dtype == jnp.uint8:
+        raise TypeError(
+            f"{name} is nibble-packed (uint8): apply "
+            "ops.quant.unpack_int4_view INSIDE the executable before the "
+            "forward (Engine(w4_packed=True) does this) — a packed "
+            "tensor must never reach the matmul directly")
     if w.dtype in (jnp.int8, jnp.int4):
         # per-out-channel scale (out,); XLA's fused int dequant-dot beats
         # the Pallas tile-streaming matvec (78 vs 58 tok/s measured), so
@@ -715,6 +721,10 @@ def forward_hidden(params, cfg: TextConfig, inputs_embeds: jnp.ndarray,
 
 def logits_from_hidden(params, hidden: jnp.ndarray) -> jnp.ndarray:
     w = params["lm_head"]
+    if w.dtype == jnp.uint8:
+        raise TypeError(
+            "lm_head is nibble-packed (uint8): apply "
+            "ops.quant.unpack_int4_view inside the executable first")
     if w.dtype in (jnp.int8, jnp.int4):
         y = jnp.einsum("...i,io->...o", hidden, w.astype(hidden.dtype),
                        preferred_element_type=jnp.float32)

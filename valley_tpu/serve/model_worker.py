@@ -171,6 +171,25 @@ class ModelWorker:
             self.hbm = hbm.HbmBudget(total)
             self.hbm.register_fixed(
                 "weights", hbm.tree_bytes(engine.params) // self._hbm_shards)
+            if getattr(engine, "w4_packed", False):
+                # nibble-packed weights expand to real int4 INSIDE every
+                # executable (ops/quant.unpack_int4_view) — an XLA temp
+                # the size of the packed tensors themselves, live for
+                # the whole fused call.  Invisible to allocation-based
+                # accounting, so register it as fixed: a config that
+                # fits resident bytes but OOMs mid-decode must be
+                # rejected at startup like any other over-budget config.
+                from valley_tpu.ops.quant import QUANT_TARGETS
+
+                lay = engine.params["llama"]["layers"]
+                unpack = sum(lay[k].nbytes for k in QUANT_TARGETS
+                             if k in lay
+                             and lay[k].dtype == np.uint8)
+                head = engine.params["llama"].get("lm_head")
+                if head is not None and head.dtype == np.uint8:
+                    unpack += head.nbytes
+                self.hbm.register_fixed(
+                    "w4_unpack_temp", unpack // self._hbm_shards)
             slot = hbm.kv_slot_bytes(engine.cfg.text, engine.cache_dtype)
             if self.continuous is not None:
                 pool = hbm.tree_bytes(self.continuous._cache)
