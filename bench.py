@@ -249,6 +249,14 @@ def main():
                 act8=qmode == "int8a8")
             if qmode == "int4gp":
                 params = pack_int4_params(params)
+    # VALLEY_BENCH_VQUANT=int8|int8a8: also quantize the CLIP tower
+    # (worker --quantize-vision) — measures the vision share of video
+    # first-token under the int8 MXU
+    vq = os.environ.get("VALLEY_BENCH_VQUANT", "")
+    if vq and size != "tiny":
+        from valley_tpu.ops.quant import quantize_vision_params
+
+        params = quantize_vision_params(params, act8=vq == "int8a8")
     jax.block_until_ready(params)
 
     cache_dtype = dtype if (size == "tiny"

@@ -127,3 +127,96 @@ def test_resize_shrink():
     out, v = hf_bridge.resize_token_embeddings(p, 8)
     assert v == 8 and out["embed"].shape == (8, 4)
     assert out["lm_head"].shape == (4, 8)
+
+
+@pytest.mark.parametrize("mode", ["int8", "int4gp"])
+def test_quantize_on_load_matches_post_load_quant(checkpoint_dir, mode):
+    """`load_valley_checkpoint(quantize=...)` (HOST-side quantization —
+    the path that lets a 13B tree reach one 16 GB chip without its bf16
+    form ever existing on device) produces the SAME tree as loading
+    bf16 and quantizing on device, and the engine generates from it."""
+    path, _ = checkpoint_dir
+    from valley_tpu.ops.quant import (pack_int4_params,
+                                      quantize_llama_params)
+
+    cfg, ref, _ = hf_bridge.load_valley_checkpoint(path)
+    ref = quantize_llama_params(
+        ref, bits=4 if mode == "int4gp" else 8,
+        group_size=16 if mode == "int4gp" else 0)
+    if mode == "int4gp":
+        ref = pack_int4_params(ref)
+
+    cfg2, got, tokenizer = hf_bridge.load_valley_checkpoint(
+        path, quantize=mode, quantize_group_size=16
+        if mode == "int4gp" else 128)
+    assert cfg2 == cfg
+    lay_r, lay_g = ref["llama"]["layers"], got["llama"]["layers"]
+    assert set(lay_r) == set(lay_g)
+    for name, want in lay_r.items():
+        have = lay_g[name]
+        assert have.dtype == want.dtype, name
+        a, b = np.asarray(want), np.asarray(have)
+        if a.dtype.name == "bfloat16":
+            a, b = a.view(np.uint16), b.view(np.uint16)
+        np.testing.assert_array_equal(a, b, err_msg=name)
+    np.testing.assert_array_equal(np.asarray(ref["llama"]["lm_head"]),
+                                  np.asarray(got["llama"]["lm_head"]))
+
+    from valley_tpu.inference import Engine, GenerationConfig
+
+    eng = Engine(cfg2, got, buckets=(32,), max_new_tokens=4,
+                 cache_dtype=jnp.float32, use_flash=False,
+                 w4_packed=mode == "int4gp")
+    toks = [int(t[0]) for t in eng.generate_tokens(
+        [tokenizer("w10 w11 w12").input_ids],
+        gen=GenerationConfig(max_new_tokens=3, do_sample=False),
+        eos_ids=[-1])]
+    assert len(toks) == 3
+
+
+def test_quantize_on_load_fused(checkpoint_dir):
+    """quantize-on-load composes with the fused serving layout: host
+    fuse -> host quantize == device fuse -> device quantize."""
+    path, _ = checkpoint_dir
+    from valley_tpu.models.llama import fuse_llama_params
+    from valley_tpu.ops.quant import quantize_llama_params
+
+    cfg, ref, _ = hf_bridge.load_valley_checkpoint(path)
+    ref = quantize_llama_params(fuse_llama_params(ref))
+    _, got, _ = hf_bridge.load_valley_checkpoint(path, quantize="int8",
+                                                 fused=True)
+    lay_r, lay_g = ref["llama"]["layers"], got["llama"]["layers"]
+    assert "wqkv" in lay_g and "wq" not in lay_g
+    for name in ("wqkv", "w_gateup", "wqkv_scale"):
+        a, b = np.asarray(lay_r[name]), np.asarray(lay_g[name])
+        if a.dtype.name == "bfloat16":
+            a, b = a.view(np.uint16), b.view(np.uint16)
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_worker_load_engine_uses_quantize_on_load(checkpoint_dir):
+    """`model_worker.load_engine(--model-path ckpt --quantize int8)`
+    routes through hf_bridge quantize-on-load (host-side) and does NOT
+    re-quantize device-side — the tree arrives already int8 and the
+    engine generates."""
+    import argparse
+
+    from valley_tpu.serve.model_worker import load_engine
+
+    path, _ = checkpoint_dir
+    args = argparse.Namespace(
+        model_path=path, vision_tower=None, lora_path=None,
+        quantize="int8", quantize_vision=None, kv_cache="bf16",
+        fused=False, buckets="32", max_new_tokens=8, steps_per_call=4,
+        decode_ramp="off", frame_buckets="off", num_frames=8,
+        tensor_parallel=1, raw_pixels=True)
+    eng, tokenizer = load_engine(args)
+    lay = eng.params["llama"]["layers"]
+    assert lay["wq"].dtype == jnp.int8 and "wq_scale" in lay
+    from valley_tpu.inference import GenerationConfig
+
+    toks = [int(t[0]) for t in eng.generate_tokens(
+        [tokenizer("w10 w11").input_ids],
+        gen=GenerationConfig(max_new_tokens=3, do_sample=False),
+        eos_ids=[-1])]
+    assert len(toks) == 3

@@ -495,3 +495,77 @@ def test_w4_packed_engine_rejects_unpacked_tree(cfg, params):
     with pytest.raises(ValueError, match="not nibble-packed"):
         Engine(cfg, q, buckets=(64,), max_new_tokens=8,
                cache_dtype=jnp.float32, use_flash=False, w4_packed=True)
+
+
+# -- host-side (numpy) quantization: the quantize-on-load path -----------
+
+
+def _host_tree(params):
+    """Device tree -> bf16 HOST (numpy ml_dtypes) mirror of the llama
+    branch, the form `hf_bridge.convert_llama(device=False)` produces."""
+    dev = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16),
+                       params["llama"])
+    return {"llama": jax.tree.map(
+        lambda x: np.asarray(jax.device_get(x)), dev)}
+
+
+@pytest.mark.parametrize("bits,gsize,act8", [
+    (8, 0, False), (8, 0, True), (4, 0, False), (4, 32, False)])
+def test_host_quantizer_matches_device(cfg, params, bits, gsize, act8):
+    """`quantize_llama_params_host` (numpy, the 13B quantize-on-load
+    path) is bit-identical to the device quantizer: same int8 codes,
+    same bf16 scales, every mode."""
+    from valley_tpu.ops.quant import quantize_llama_params_host
+
+    bf16 = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16),
+                        {"llama": params["llama"]})
+    dev = quantize_llama_params(
+        jax.tree.map(jnp.copy, bf16), bits=bits, group_size=gsize,
+        act8=act8)
+    host = quantize_llama_params_host(
+        _host_tree(params), bits=bits, group_size=gsize, act8=act8)
+    scale_key = "_scale_a8" if act8 else "_scale"
+    lay_d, lay_h = dev["llama"]["layers"], host["llama"]["layers"]
+    checked = 0
+    for name in ("wq", "wo", "w_down"):
+        np.testing.assert_array_equal(
+            np.asarray(lay_d[name]), lay_h[name], err_msg=name)
+        sd = np.asarray(lay_d[name + scale_key]).view(np.uint16)
+        sh = lay_h[name + scale_key].view(np.uint16)  # bitwise bf16
+        np.testing.assert_array_equal(sd, sh, err_msg=name + scale_key)
+        checked += 1
+    assert checked == 3
+    np.testing.assert_array_equal(np.asarray(dev["llama"]["lm_head"]),
+                                  host["llama"]["lm_head"])
+    np.testing.assert_array_equal(
+        np.asarray(dev["llama"]["lm_head_scale"]).view(np.uint16),
+        host["llama"]["lm_head_scale"].view(np.uint16))
+
+
+def test_host_pack_matches_device_pack(cfg, params):
+    from valley_tpu.ops.quant import (pack_int4_params,
+                                      pack_int4_params_host,
+                                      quantize_llama_params_host)
+
+    bf16 = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16),
+                        {"llama": params["llama"]})
+    dev = pack_int4_params(quantize_llama_params(
+        jax.tree.map(jnp.copy, bf16), bits=4, group_size=32))
+    host = pack_int4_params_host(quantize_llama_params_host(
+        _host_tree(params), bits=4, group_size=32))
+    for name in ("wq", "w_down"):
+        got = host["llama"]["layers"][name]
+        assert got.dtype == np.uint8
+        np.testing.assert_array_equal(
+            np.asarray(dev["llama"]["layers"][name]), got, err_msg=name)
+    np.testing.assert_array_equal(np.asarray(dev["llama"]["lm_head"]),
+                                  host["llama"]["lm_head"])
+
+
+def test_host_pack_rejects_int8_range():
+    from valley_tpu.ops.quant import pack_int4_params_host
+
+    tree = {"llama": {"layers": {
+        "wq": np.full((2, 4, 8), 100, np.int8)}, "lm_head": None}}
+    with pytest.raises(ValueError, match="quantize with bits=4"):
+        pack_int4_params_host(tree)

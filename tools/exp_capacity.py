@@ -42,12 +42,27 @@ from valley_tpu.inference.continuous import ContinuousEngine  # noqa: E402
 from valley_tpu.models import valley                    # noqa: E402
 
 
-def hbm_gb() -> float:
+def hbm_gb(eng=None, pool=None) -> float:
+    """Device bytes in use; axon exposes no memory_stats, so fall back
+    to the ledger-style analytic sum (weights + pool cache/valid/hist —
+    the same byte math serve/hbm.py registers)."""
     try:
         st = jax.local_devices()[0].memory_stats()
-        return st.get("bytes_in_use", 0) / 2**30
+        if st and st.get("bytes_in_use"):
+            return st["bytes_in_use"] / 2**30
     except Exception:
+        pass
+    if eng is None:
         return float("nan")
+    from valley_tpu.serve import hbm
+
+    total = hbm.tree_bytes(eng.params)
+    if pool is not None:
+        for attr in ("_cache", "_valid", "_hist"):
+            val = getattr(pool, attr, None)
+            if val is not None:
+                total += hbm.tree_bytes(val)
+    return total / 2**30
 
 
 def build_engine():
@@ -74,10 +89,11 @@ def make_traffic(cfg, n_req: int):
     tok = cfg.tokens
     span = [tok.im_start] + [tok.im_patch] * cfg.num_patches + \
         [tok.im_end] + [tok.vi_start] + [tok.vi_frame] * 8 + [tok.vi_end]
+    all_greedy = os.environ.get("VALLEY_CAP_GREEDY") == "1"
     reqs = []
     for i in range(n_req):
         video = i % 2 == 0
-        sampled = (i // 2) % 2 == 1
+        sampled = (i // 2) % 2 == 1 and not all_greedy
         if video:
             n = int(rng.integers(40, 160))
             ids = [1] + span + rng.integers(5, 30000, size=n).tolist()
@@ -107,7 +123,7 @@ def run_config(eng, cfg, rows: int, spec: bool, reqs, new_tokens: int):
                             admit_batch=4, ready_depth=8, **kw)
     pool.warmup(frames=(8, 0))
     time.sleep(1)
-    hbm0 = hbm_gb()
+    hbm0 = hbm_gb(eng, pool)
 
     firsts, counts = {}, {}
 
@@ -132,7 +148,7 @@ def run_config(eng, cfg, rows: int, spec: bool, reqs, new_tokens: int):
     for th in threads:
         th.join(timeout=900)
     dt = time.perf_counter() - t0
-    hbm1 = hbm_gb()
+    hbm1 = hbm_gb(eng, pool)
     total = sum(counts.values())
     ttft = np.sort(np.asarray([v for v in firsts.values()
                                if v is not None]))

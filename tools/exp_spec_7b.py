@@ -39,11 +39,15 @@ def main():
     params = jax.tree.map(
         lambda s: jnp.full(s.shape, 0.008, s.dtype), shapes)
     qmode = os.environ.get("VALLEY_BENCH_QUANT")
-    if qmode in ("int8", "int4"):
-        from valley_tpu.ops.quant import quantize_llama_params
+    if qmode in ("int8", "int4", "int4g", "int4gp"):
+        from valley_tpu.ops.quant import (pack_int4_params,
+                                          quantize_llama_params)
 
-        params = quantize_llama_params(params,
-                                       bits=4 if qmode == "int4" else 8)
+        params = quantize_llama_params(
+            params, bits=4 if qmode.startswith("int4") else 8,
+            group_size=128 if qmode in ("int4g", "int4gp") else 0)
+        if qmode == "int4gp":
+            params = pack_int4_params(params)
     jax.block_until_ready(params)
 
     rng = np.random.default_rng(0)
@@ -51,7 +55,9 @@ def main():
     new = 255
 
     eng = Engine(cfg, params, buckets=(512,), max_new_tokens=new + 1,
-                 steps_per_call=new, decode_w4=qmode == "int4")
+                 steps_per_call=new,
+                 decode_w4=qmode in ("int4", "int4g"),
+                 w4_packed=qmode == "int4gp")
     gen = GenerationConfig(max_new_tokens=new, do_sample=False)
 
     def run_plain():

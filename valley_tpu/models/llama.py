@@ -136,10 +136,15 @@ def fuse_llama_params(params):
     if any(k.endswith("_lora_a") for k in layers):
         raise ValueError("fuse before adding LoRA adapters")
 
+    # Host trees (the quantize-on-load path, hf_bridge) stay host: the
+    # fused result must not land on device before quantization.
+    on_device = isinstance(layers["wq"], jax.Array)
+
     def fuse(names, out):
         host = [np.asarray(jax.device_get(layers.pop(n)))
                 for n in names]   # device original freed per-iteration
-        layers[out] = jnp.asarray(np.concatenate(host, axis=1))
+        cat = np.concatenate(host, axis=1)
+        layers[out] = jnp.asarray(cat) if on_device else cat
 
     fuse(("wq", "wk", "wv"), "wqkv")
     fuse(("w_gate", "w_up"), "w_gateup")

@@ -27,6 +27,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 QUANT_TARGETS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
                  "wqkv", "w_gateup")   # last two: fused serving layout
@@ -200,6 +201,110 @@ def int4_decode_view(params):
     if llama_p.get("lm_head") is not None and             llama_p["lm_head"].dtype == jnp.int8:
         llama_p["lm_head"] = llama_p["lm_head"].astype(jnp.int4)
     params["llama"] = llama_p
+    return params
+
+
+# ---------------------------------------------------------------------------
+# HOST-side (numpy) quantization — the quantize-on-load path.
+#
+# A 13B bf16 tree is ~26 GB: it fits host RAM but NOT a 16 GB chip, so
+# quantization must happen BEFORE the device ever sees the weights.
+# These mirror `_quantize_one` / `_pack_nibbles` bit-for-bit (numpy bf16
+# via ml_dtypes uses the same round-to-nearest-even the device does;
+# equality is asserted by tests/test_quant.py::test_host_quantizer_
+# matches_device).  Used by `hf_bridge.load_valley_checkpoint(
+# quantize=...)` — the worker's 13B-on-one-chip load path.
+# ---------------------------------------------------------------------------
+
+
+
+def _quantize_one_host(w, contract_axis: int = -1, bits: int = 8,
+                       group_size: int = 0):
+    """Numpy mirror of `_quantize_one` (same math, same dtypes)."""
+    bf16 = jnp.bfloat16  # ml_dtypes.bfloat16 — a real numpy dtype
+    qmax = 127.0 if bits == 8 else 7.0
+    w = np.asarray(w)
+    if group_size and contract_axis == -1 and \
+            w.shape[-1] % group_size == 0:
+        g = w.shape[-1] // group_size
+        wg = w.reshape(w.shape[:-1] + (g, group_size))
+        amax = np.max(np.abs(wg), axis=-1,
+                      keepdims=True).astype(np.float32)
+        scale = np.where(amax > 0, amax / qmax, 1.0).astype(w.dtype)
+        q = np.clip(np.round(wg / scale), -qmax, qmax).astype(np.int8)
+        return q.reshape(w.shape), scale[..., 0].astype(bf16)
+    amax = np.max(np.abs(w), axis=contract_axis,
+                  keepdims=True).astype(np.float32)
+    scale = np.where(amax > 0, amax / qmax, 1.0).astype(w.dtype)
+    q = np.clip(np.round(w / scale), -qmax, qmax).astype(np.int8)
+    if contract_axis == -1:
+        scale = scale[..., 0]
+    return q, scale.astype(bf16)
+
+
+def quantize_llama_params_host(params,
+                               targets: Sequence[str] = QUANT_TARGETS,
+                               quantize_lm_head: bool = True,
+                               bits: int = 8, group_size: int = 0,
+                               act8: bool = False):
+    """Numpy mirror of `quantize_llama_params` for HOST trees (see
+    section comment).  Consumes the input tree tensor by tensor so host
+    RAM peaks at ~(tree + one tensor)."""
+    if act8 and (bits != 8 or group_size):
+        raise ValueError("act8 (W8A8) requires bits=8 and per-channel "
+                         "scales (group_size=0)")
+    scale_key = "_scale_a8" if act8 else "_scale"
+    llama_p = params["llama"]
+    layers = llama_p["layers"]
+    for name in targets:
+        if name not in layers or layers[name].dtype == np.int8:
+            continue
+        q, scale = _quantize_one_host(layers[name], -1, bits, group_size)
+        layers[name] = q
+        layers[name + scale_key] = scale
+    if quantize_lm_head and llama_p["lm_head"].dtype != np.int8:
+        q, scale = _quantize_one_host(llama_p["lm_head"],
+                                      contract_axis=-2, bits=bits)
+        llama_p["lm_head"] = q
+        llama_p["lm_head_scale"] = scale
+    return params
+
+
+def _pack_nibbles_host(w: np.ndarray, axis: int) -> np.ndarray:
+    """Numpy mirror of `_pack_nibbles`."""
+    w = np.asarray(w)
+    if w.shape[axis] % 2:
+        raise ValueError(f"pack axis {axis} has odd length {w.shape[axis]}")
+    if axis in (-1, w.ndim - 1):
+        lo, hi = w[..., 0::2], w[..., 1::2]
+    elif axis in (-2, w.ndim - 2) and w.ndim == 2:
+        lo, hi = w[0::2, :], w[1::2, :]
+    else:
+        raise ValueError(f"unsupported pack axis {axis} for ndim {w.ndim}")
+    return ((lo & 0xF).astype(np.uint8)
+            | ((hi & 0xF).astype(np.uint8) << 4))
+
+
+def pack_int4_params_host(params):
+    """Numpy mirror of `pack_int4_params` for HOST trees: nibble-packs
+    an int4-range tree to 0.5 B/weight BEFORE the device transfer —
+    the only way a 13B 4-bit tree ever reaches one 16 GB chip."""
+    llama_p = params["llama"]
+    layers = llama_p["layers"]
+    for name in QUANT_TARGETS:
+        if name in layers and layers[name].dtype == np.int8:
+            w = layers[name]
+            if int(w.max()) > 7 or int(w.min()) < -7:
+                raise ValueError(
+                    f"pack_int4_params_host: {name} out of int4 range — "
+                    "quantize with bits=4 first")
+            layers[name] = _pack_nibbles_host(w, axis=-1)
+    head = llama_p.get("lm_head")
+    if head is not None and head.dtype == np.int8:
+        if int(head.max()) > 7 or int(head.min()) < -7:
+            raise ValueError("pack_int4_params_host: lm_head out of "
+                             "int4 range")
+        llama_p["lm_head"] = _pack_nibbles_host(head, axis=-2)
     return params
 
 

@@ -912,6 +912,7 @@ def load_engine(args):
     from valley_tpu.inference.engine import Engine
     from valley_tpu.models import valley
 
+    load_quant = None   # set when quantize-on-load handled --quantize
     if args.model_path and args.model_path.startswith("random:") and \
             args.model_path != "random:tiny":
         # random-weight full-size models (perf validation without weights)
@@ -929,8 +930,18 @@ def load_engine(args):
     elif args.model_path and args.model_path != "random:tiny":
         from valley_tpu.utils import hf_bridge
 
+        # QUANTIZE-ON-LOAD (no LoRA: adapters need the bf16 base): the
+        # decoder fuses/quantizes/packs on the HOST and only the final
+        # quantized tree reaches the device — the path that serves a
+        # 13B checkpoint from one 16 GB chip, whose bf16 tree (~26 GB)
+        # can never transiently exist on it (hf_bridge; host math is
+        # bit-identical to the device quantizer, tests/test_quant.py)
+        load_quant = getattr(args, "quantize", None) \
+            if not args.lora_path else None
         cfg, params, tokenizer = hf_bridge.load_valley_checkpoint(
-            args.model_path, vision_tower=args.vision_tower)
+            args.model_path, vision_tower=args.vision_tower,
+            quantize=load_quant,
+            fused=bool(getattr(args, "fused", False)) and bool(load_quant))
         if args.lora_path:
             from valley_tpu.train import lora as lora_lib
             from valley_tpu.utils import checkpoint as ckpt_lib
@@ -944,14 +955,16 @@ def load_engine(args):
         tokenizer = ByteFallbackTokenizer()
         cfg = C.valley_tiny().replace(tokens=tokenizer.special_tokens())
         params = valley.init_params(cfg, jax.random.key(0), jnp.float32)
-    if getattr(args, "fused", False):
+    loaded_quantized = load_quant is not None
+    if getattr(args, "fused", False) and not loaded_quantized:
         # 4 GEMVs/layer serving layout: +1.3 tok/s on the int8 7B
         # flagship (round 4).  After any LoRA merge, before quantize.
         from valley_tpu.models.llama import fuse_llama_params
 
         params = fuse_llama_params(params)
-    if getattr(args, "quantize", None) in ("int8", "int8a8", "int4",
-                                           "int4g", "int4gp"):
+    if not loaded_quantized and \
+            getattr(args, "quantize", None) in ("int8", "int8a8", "int4",
+                                                "int4g", "int4gp"):
         from valley_tpu.ops.quant import (pack_int4_params,
                                           quantize_llama_params)
 
@@ -1089,7 +1102,11 @@ def main():
                              "values NIBBLE-PACKED to 0.5 B/weight "
                              "resident — serves 13B from one 16 GB "
                              "chip), or int4 "
-                             "(per-channel scales, fastest by ~1.5%%)")
+                             "(per-channel scales, fastest by ~1.5%%). "
+                             "With --model-path, quantization runs "
+                             "ON LOAD (host-side, bit-identical): the "
+                             "bf16 tree never reaches the device — "
+                             "required for 13B checkpoints on one chip")
     parser.add_argument("--quantize-vision", type=str, default=None,
                         choices=["int8", "int8a8"],
                         help="quantize the frozen CLIP tower's encoder "

@@ -69,9 +69,16 @@ def _strip_prefix(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 def convert_llama(sd: Dict[str, Any], cfg: C.TextConfig,
-                  dtype=jnp.bfloat16) -> Dict[str, Any]:
+                  dtype=jnp.bfloat16, device: bool = True
+                  ) -> Dict[str, Any]:
     """HF `LlamaForCausalLM` state dict (keys `model.layers.N...`,
-    `lm_head.weight`) -> our stacked pytree."""
+    `lm_head.weight`) -> our stacked pytree.
+
+    ``device=False`` keeps every tensor on the HOST (numpy; bf16 via
+    ml_dtypes) — the quantize-on-load path for models whose bf16 tree
+    exceeds chip HBM (13B: ~26 GB vs 16 GB; see
+    `load_valley_checkpoint(quantize=...)`)."""
+    put = jnp.asarray if device else np.asarray
     sd = {k.replace("base_model.model.", ""): v for k, v in sd.items()}
     L = cfg.num_hidden_layers
 
@@ -80,7 +87,7 @@ def convert_llama(sd: Dict[str, Any], cfg: C.TextConfig,
         for i in range(L):
             w = _np(sd[fmt.format(i)])
             mats.append(w.T if transpose else w)
-        return jnp.asarray(np.stack(mats), dtype)
+        return put(np.stack(mats), dtype)
 
     # layer projections keep the torch nn.Linear (out, in) layout verbatim
     # (see llama.init_params)
@@ -105,10 +112,10 @@ def convert_llama(sd: Dict[str, Any], cfg: C.TextConfig,
                         transpose=False),
     }
     return {
-        "embed": _vec(sd, "model.embed_tokens.weight", dtype),
+        "embed": put(_np(sd["model.embed_tokens.weight"]), dtype),
         "layers": layers,
-        "final_norm": _vec(sd, "model.norm.weight", dtype),
-        "lm_head": _dense(sd, "lm_head.weight", dtype),
+        "final_norm": put(_np(sd["model.norm.weight"]), dtype),
+        "lm_head": put(_np(sd["lm_head.weight"]).T, dtype),
     }
 
 
@@ -467,13 +474,27 @@ def load_valley_checkpoint(path: str, vision_tower: Optional[str] = None,
                            select_layer: int = -2,
                            pooling: str = "mean",
                            dtype=jnp.bfloat16,
-                           model_max_length: int = 2048):
+                           model_max_length: int = 2048,
+                           quantize: Optional[str] = None,
+                           quantize_group_size: int = 128,
+                           fused: bool = False):
     """Load a full Valley (or plain LLaMA) HF checkpoint directory.
 
     Returns (ValleyConfig, params, tokenizer).  The vision tower comes from
     the same state dict when present (Valley checkpoints embed it under
     `model.vision_tower.`), else from ``vision_tower`` (a local CLIP
     checkpoint dir).
+
+    ``quantize`` ('int8' | 'int8a8' | 'int4' | 'int4g' | 'int4gp') runs
+    QUANTIZE-ON-LOAD: the decoder converts / (optionally) fuses /
+    quantizes / packs entirely on the HOST and only the final quantized
+    tree transfers to device — a 13B bf16 tree (~26 GB) never exists on
+    the chip, which is what makes ``--quantize int4gp`` 13B serving
+    possible on one 16 GB v5e (host math is bit-identical to the device
+    quantizer, tests/test_quant.py).  ``fused`` applies the
+    wqkv/w_gateup serving layout before quantization (worker --fused).
+    LoRA merging is incompatible with quantize-on-load (adapters need
+    the bf16 base): merge first, then load the merged checkpoint.
     """
     with open(os.path.join(path, "config.json")) as f:
         hf_cfg = json.load(f)
@@ -496,7 +517,10 @@ def load_valley_checkpoint(path: str, vision_tower: Optional[str] = None,
                          patch_pooling_method=pooling)
 
     sd = read_state_dict(path)
-    params: Dict[str, Any] = {"llama": convert_llama(sd, text_cfg, dtype)}
+    host_quant = quantize is not None
+    params: Dict[str, Any] = {
+        "llama": convert_llama(sd, text_cfg, dtype,
+                               device=not host_quant)}
     # the Valley special tokens may extend the vocab beyond the stored
     # embedding (plain LLaMA base + 6 markers): mean-init the new rows
     tok_vocab = len(tokenizer)
@@ -507,6 +531,30 @@ def load_valley_checkpoint(path: str, vision_tower: Optional[str] = None,
 
         text_cfg = _dc.replace(text_cfg, vocab_size=new_vocab)
         cfg = cfg.replace(text=text_cfg)
+    if host_quant:
+        import jax
+
+        from valley_tpu.models.llama import fuse_llama_params
+        from valley_tpu.ops.quant import (pack_int4_params_host,
+                                          quantize_llama_params_host)
+
+        # resize may have produced device leaves for embed/lm_head —
+        # pull them back; the whole pipeline below stays on host
+        params["llama"] = {
+            k: (np.asarray(jax.device_get(v)) if k != "layers" else
+                {n: np.asarray(jax.device_get(a)) for n, a in v.items()})
+            for k, v in params["llama"].items()}
+        if fused:
+            fuse_llama_params(params)     # host path (no jax.Array leaves)
+        quantize_llama_params_host(
+            params, bits=4 if quantize.startswith("int4") else 8,
+            group_size=quantize_group_size
+            if quantize in ("int4g", "int4gp") else 0,
+            act8=quantize == "int8a8")
+        if quantize == "int4gp":
+            pack_int4_params_host(params)
+        # single transfer of the final (quantized) tree, tensor by tensor
+        params["llama"] = jax.tree.map(jnp.asarray, params["llama"])
 
     tower_sd = _strip_prefix(
         {k: v for k, v in sd.items() if "vision_tower." in k},
