@@ -434,3 +434,72 @@ def test_adaptive_pool_pauses_and_reprobes(cfg, params):
     # reset by the countdown at least once during the run, or is paused
     # right now awaiting one)
     assert pool._plain_left <= sp.reprobe_chunks
+
+
+def test_spec_tp_mesh_token_identical(cfg, params):
+    """Speculation composes with tensor parallelism: SpecDecoder over a
+    (1, 2, 2) mesh-sharded engine — int8-quantized, as the TP=2 13B
+    worker config serves — emits exactly the single-device engine's
+    greedy tokens (the verification windows and KV writes shard over
+    the model axis without changing the accept/reject math)."""
+    from valley_tpu.ops.quant import quantize_llama_params
+    from valley_tpu.parallel import create_mesh
+
+    qparams = quantize_llama_params(jax.tree.map(jnp.copy, params))
+    base = Engine(cfg, jax.tree.map(jnp.copy, qparams), buckets=(128,),
+                  max_new_tokens=24, steps_per_call=4,
+                  cache_dtype=jnp.float32, use_flash=False)
+    sharded = Engine(cfg, qparams, buckets=(128,), max_new_tokens=24,
+                     steps_per_call=4, cache_dtype=jnp.float32,
+                     use_flash=False, mesh=create_mesh(1, 2, 2))
+    gen = GenerationConfig(max_new_tokens=24, do_sample=False)
+    dec = SpecDecoder(sharded, SpecConfig(draft_len=4, rounds_per_call=3))
+    for i, prompt in enumerate(_prompts(cfg)):
+        images = None
+        if i == 0:
+            images = np.random.default_rng(0).standard_normal(
+                (1, 2, 3, cfg.vision.image_size, cfg.vision.image_size)
+            ).astype(np.float32)
+        ref = [int(t[0]) for t in base.generate_tokens(
+            [prompt], images, gen, eos_ids=[-1])]
+        got = list(dec.generate_tokens(prompt, images, gen,
+                                       eos_ids=[-1]))
+        assert got == ref, (i, got, ref)
+
+
+def test_spec_pool_tp_mesh_matches_plain(cfg, params):
+    """Pooled (continuous-batching) SPECULATIVE decode over a TP mesh
+    matches the single-device plain engine row for row — the full
+    shipped serving composition (speculation default-on + --tensor-
+    parallel) in one case."""
+    import time
+
+    from valley_tpu.inference.continuous import ContinuousEngine, _drain
+    from valley_tpu.ops.quant import quantize_llama_params
+    from valley_tpu.parallel import create_mesh
+
+    qparams = quantize_llama_params(jax.tree.map(jnp.copy, params))
+    base = Engine(cfg, jax.tree.map(jnp.copy, qparams), buckets=(64,),
+                  max_new_tokens=32, steps_per_call=2,
+                  cache_dtype=jnp.float32, use_flash=False)
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False)
+    prompts = [list(range(10, 40)), [1, 7, 8, 9, 7, 8, 9, 7, 8]]
+    plain = [[int(t[0]) for t in base.generate_tokens(
+        [p], None, gen, eos_ids=[-1])] for p in prompts]
+
+    eng = Engine(cfg, qparams, buckets=(64,), max_new_tokens=32,
+                 steps_per_call=2, cache_dtype=jnp.float32,
+                 use_flash=False, mesh=create_mesh(1, 2, 2))
+    pool = ContinuousEngine(eng, rows=2, bucket=64, extra_slots=64,
+                            steps_per_call=2, speculative=True,
+                            spec=SpecConfig(draft_len=4,
+                                            rounds_per_call=2))
+    queues = [pool.submit(p, max_new_tokens=8, eos_id=-1)
+              for p in prompts]
+    deadline = time.time() + 300
+    for want, outq in zip(plain, queues):
+        got = []
+        for item in _drain(outq):
+            got.append(int(item))
+            assert time.time() < deadline, "pooled spec decode timed out"
+        assert got == want, (got, want)
