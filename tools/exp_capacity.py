@@ -76,7 +76,10 @@ def build_engine():
                           shapes)
     from valley_tpu.ops.quant import quantize_llama_params
 
-    params = quantize_llama_params(params)
+    # VALLEY_CAP_QUANT=int8a8 switches admission prefills (bucket >= 128)
+    # to the W8A8 int8-MXU path; decode executables stay identical int8
+    params = quantize_llama_params(
+        params, act8=os.environ.get("VALLEY_CAP_QUANT") == "int8a8")
     jax.block_until_ready(params)
     eng = Engine(cfg, params, buckets=(128, 512), max_new_tokens=128,
                  cache_dtype=jnp.int8, steps_per_call=16,

@@ -144,7 +144,10 @@ def batch_sweep():
         s_grp = jnp.asarray(rng.standard_normal((REPS, n, g)) * .01 + 1,
                             jnp.bfloat16)
         nbytes = REPS * k * n / 2
-        for b in (1, 4, 16, 32):
+        # b=5 and b=9 are the speculative verification widths (D+1 at
+        # the default draft lengths 4/8); 2..9 map the multi-tile
+        # blockdiag region (b*g > 128) that sets llama._proj's gate
+        for b in (1, 2, 4, 5, 8, 9, 16, 32):
             x = jnp.asarray(rng.standard_normal((b, k)), jnp.bfloat16)
             for name in ("blockdiag", "grouped"):
                 fn = VARIANTS[name]

@@ -13,6 +13,10 @@ so this measures the two quantities that bound it instead:
 Effective tok/s for any mean acceptance m:  (1 + m) / round_time.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/exp_spec_7b.py
+VALLEY_BENCH_SIZE=13b additionally measures the 13B one-chip config
+(int4gp nibble-packed weights by default — the 26 GB bf16 tree cannot
+transiently exist on a 16 GB chip, so perf weights materialize
+already-quantized via bench._perf_quant_params).
 """
 
 import os
@@ -29,25 +33,36 @@ from valley_tpu.models import valley
 
 
 def main():
-    cfg = C.valley_7b().replace(
+    size = os.environ.get("VALLEY_BENCH_SIZE", "7b")
+    base = C.valley_7b() if size == "7b" else C.valley_13b()
+    cfg = base.replace(
         tokens=C.SpecialTokens(im_patch=31996, im_start=31997,
                                im_end=31998, vi_frame=31999,
                                vi_start=31994, vi_end=31995))
-    shapes = jax.eval_shape(
-        lambda k: valley.init_params(cfg, k, dtype=jnp.bfloat16),
-        jax.random.key(0))
-    params = jax.tree.map(
-        lambda s: jnp.full(s.shape, 0.008, s.dtype), shapes)
-    qmode = os.environ.get("VALLEY_BENCH_QUANT")
-    if qmode in ("int8", "int4", "int4g", "int4gp"):
-        from valley_tpu.ops.quant import (pack_int4_params,
-                                          quantize_llama_params)
+    qmode = os.environ.get(
+        "VALLEY_BENCH_QUANT", "int4gp" if size == "13b" else None)
+    if size == "13b":
+        # 26 GB bf16 tree cannot transiently exist on the 16 GB chip:
+        # build the quantized tree in closed form (bit-identical to the
+        # quantizer on a constant tree — tests/test_tools.py)
+        import bench
 
-        params = quantize_llama_params(
-            params, bits=4 if qmode.startswith("int4") else 8,
-            group_size=128 if qmode in ("int4g", "int4gp") else 0)
-        if qmode == "int4gp":
-            params = pack_int4_params(params)
+        params = bench._perf_quant_params(cfg, fused=False, qmode=qmode)
+    else:
+        shapes = jax.eval_shape(
+            lambda k: valley.init_params(cfg, k, dtype=jnp.bfloat16),
+            jax.random.key(0))
+        params = jax.tree.map(
+            lambda s: jnp.full(s.shape, 0.008, s.dtype), shapes)
+        if qmode in ("int8", "int4", "int4g", "int4gp"):
+            from valley_tpu.ops.quant import (pack_int4_params,
+                                              quantize_llama_params)
+
+            params = quantize_llama_params(
+                params, bits=4 if qmode.startswith("int4") else 8,
+                group_size=128 if qmode in ("int4g", "int4gp") else 0)
+            if qmode == "int4gp":
+                params = pack_int4_params(params)
     jax.block_until_ready(params)
 
     rng = np.random.default_rng(0)
@@ -56,6 +71,7 @@ def main():
 
     eng = Engine(cfg, params, buckets=(512,), max_new_tokens=new + 1,
                  steps_per_call=new,
+                 cache_dtype=jnp.int8 if size == "13b" else jnp.bfloat16,
                  decode_w4=qmode in ("int4", "int4g"),
                  w4_packed=qmode == "int4gp")
     gen = GenerationConfig(max_new_tokens=new, do_sample=False)

@@ -1111,10 +1111,13 @@ def main():
                         choices=["int8", "int8a8"],
                         help="quantize the frozen CLIP tower's encoder "
                              "GEMMs: int8 (weight-only) or int8a8 (W8A8 "
-                             "on the int8 MXU — the tower is all "
-                             "prefill-shaped, so every call rides it); "
-                             "cuts the vision share of video "
-                             "first-token latency; gate with "
+                             "on the int8 MXU).  Measured round 5: NO "
+                             "end-to-end first-token win (0.114 -> "
+                             "0.121 s back-to-back best-of-8 video "
+                             "bench — the tower is ~13 ms of the path "
+                             "and per-call activation quant offsets the "
+                             "MXU gain); use it for the ~0.3 GB HBM "
+                             "saving, not latency; gate with "
                              "tools/quant_report.py --vision-quant")
     parser.add_argument("--kv-cache", type=str, default="bf16",
                         choices=["bf16", "int8"],
