@@ -25,7 +25,12 @@ def _env():
     return env
 
 
-def _run(argv, stdin: str = "", timeout: int = 420):
+def _run(argv, stdin: str = "", timeout: int = 900):
+    # 900 s: the tiny-model cold compile takes ~150 s alone on a quiet
+    # host but XLA compilation is host-CPU-bound — a concurrent compile
+    # (another test worker, a TPU tool building executables) stretches
+    # it several-fold, and a flaky timeout here reads as an entry-point
+    # regression (round 5 false alarm)
     return subprocess.run(
         [sys.executable, "-m"] + argv, input=stdin, text=True,
         capture_output=True, env=_env(), cwd=REPO, timeout=timeout)

@@ -238,7 +238,7 @@ def _proj(lp, name: str, x: jnp.ndarray, lora_rng=None,
             b = 1
             for d in x.shape[:-1]:
                 b *= d
-            if b * g <= 128:
+            if b * g < 128:
                 # decode-shape fast path: ONE dense pass against a
                 # block-diagonal expansion of x.  The MXU computes up to
                 # 128 output columns per weight pass, so the b*g partial
@@ -247,7 +247,9 @@ def _proj(lp, name: str, x: jnp.ndarray, lora_rng=None,
                 # instead of g separate dots.  Measured on v5e
                 # (tools/exp_int4_group.py): 827 GB/s int4-byte rate at
                 # b=1 vs 19 GB/s for the einsum below; the einsum wins
-                # once b*g exceeds one 128-wide MXU tile.
+                # from one full 128-wide MXU tile up — including exactly
+                # b*g == 128 (K=4096 b=4: einsum 0.406 vs 0.813 ms
+                # same-window, --batch-sweep), so the gate is strict.
                 x2 = (x.reshape(b, g, gs, 1)
                       * jnp.eye(g, dtype=x.dtype)[None, :, None, :])
                 x2 = jnp.moveaxis(x2.reshape(b, k, g), 0, 1)
