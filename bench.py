@@ -123,13 +123,13 @@ def _perf_quant_params(cfg, fused: bool, qmode: str):
     import jax.numpy as jnp
 
     from valley_tpu.models import valley
-    from valley_tpu.ops.quant import QUANT_TARGETS
+    from valley_tpu.ops.quant import QUANT_TARGETS, parse_quant_mode
 
-    bits = 4 if qmode.startswith("int4") else 8
-    qmax = 7 if bits == 4 else 127
-    group = 128 if qmode in ("int4g", "int4gp") else 0
-    packed = qmode == "int4gp"
-    scale_key = "_scale_a8" if qmode == "int8a8" else "_scale"
+    qm = parse_quant_mode(qmode)
+    qmax = 7 if qm["bits"] == 4 else 127
+    group = qm["group_size"]
+    packed = qm["packed"]
+    scale_key = "_scale_a8" if qm["act8"] else "_scale"
     v = jnp.full((), 0.008, jnp.bfloat16)
     scale_val = (v.astype(jnp.float32) / qmax).astype(jnp.bfloat16)
 
@@ -214,7 +214,9 @@ def main():
     else:
         qmode = os.environ.get(
             "VALLEY_BENCH_QUANT", "int8a8" if size != "tiny" else "bf16")
-    quant = qmode in ("int8", "int8a8", "int4", "int4g", "int4gp")
+    from valley_tpu.ops.quant import QUANT_MODES
+
+    quant = qmode in QUANT_MODES
     # fused wqkv/w_gateup serving layout (4 GEMVs/layer instead of 7):
     # +1.3 tok/s on the int8 flagship (round 4 same-window A/B — the
     # win is GEMV-boundary scheduling gap, tools/exp_decode_glue.py).
@@ -241,13 +243,14 @@ def main():
             lambda s: jnp.full(s.shape, 0.008, s.dtype), shapes)
         if quant:
             from valley_tpu.ops.quant import (pack_int4_params,
+                                              parse_quant_mode,
                                               quantize_llama_params)
 
-            params = quantize_llama_params(
-                params, bits=4 if qmode.startswith("int4") else 8,
-                group_size=128 if qmode in ("int4g", "int4gp") else 0,
-                act8=qmode == "int8a8")
-            if qmode == "int4gp":
+            qm = parse_quant_mode(qmode)
+            params = quantize_llama_params(params, bits=qm["bits"],
+                                           group_size=qm["group_size"],
+                                           act8=qm["act8"])
+            if qm["packed"]:
                 params = pack_int4_params(params)
     # VALLEY_BENCH_VQUANT=int8|int8a8: also quantize the CLIP tower
     # (worker --quantize-vision) — measures the vision share of video
@@ -264,8 +267,8 @@ def main():
                             ) else jnp.int8
     engine = Engine(cfg, params, buckets=(seq_bucket,),
                     max_new_tokens=decode_n, cache_dtype=cache_dtype,
-                    decode_w4=qmode in ("int4", "int4g"),
-                    w4_packed=qmode == "int4gp",
+                    decode_w4=qmode in ("int4", "int4g", "int4ga8"),
+                    w4_packed=qmode in ("int4gp", "int4gpa8"),
                     steps_per_call=int(os.environ.get(
                         "VALLEY_BENCH_STEPS", max(decode_n - 1, 1))))
 
@@ -313,7 +316,7 @@ def main():
 
     # decode roofline: every token reads all decoder+head params once
     llama_bytes = param_bytes({"llama": params["llama"]})
-    if qmode in ("int4", "int4g"):
+    if qmode in ("int4", "int4g", "int4ga8"):
         # the decode scan streams the in-executable int4 VIEW of the
         # int8-stored weights: count those tensors at 0.5 B/weight
         # (int4gp needs no adjustment: packed uint8 storage already

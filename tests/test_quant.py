@@ -408,15 +408,129 @@ def test_vision_quant_engine_video_generates(cfg, params):
     assert len(toks) == 4
 
 
-def test_act8_rejects_int4_and_groups():
+def test_act8_mode_validation():
+    """act8 composes with bits=4 ONLY via grouped scales (W4A8); the two
+    meaningless combinations (per-channel int4 a8, grouped int8 a8)
+    reject at the quantizer."""
     import pytest as _pytest
 
-    w = {"llama": {"layers": {"wq": jnp.zeros((2, 8, 8))},
-                   "lm_head": jnp.zeros((8, 16))}}
+    def tree():
+        return {"llama": {"layers": {"wq": jnp.zeros((2, 8, 8))},
+                          "lm_head": jnp.zeros((8, 16))}}
+
     with _pytest.raises(ValueError):
-        quantize_llama_params(w, bits=4, act8=True)
+        quantize_llama_params(tree(), bits=4, act8=True)
     with _pytest.raises(ValueError):
-        quantize_llama_params(w, group_size=4, act8=True)
+        quantize_llama_params(tree(), bits=8, group_size=4, act8=True)
+    ok = quantize_llama_params(tree(), bits=4, group_size=4, act8=True)
+    assert "wq_scale_a8" in ok["llama"]["layers"]
+    assert ok["llama"]["layers"]["wq_scale_a8"].shape == (2, 8, 2)
+
+
+def test_parse_quant_mode_table():
+    from valley_tpu.ops.quant import QUANT_MODES, parse_quant_mode
+
+    assert parse_quant_mode("int8a8") == dict(bits=8, group_size=0,
+                                              act8=True, packed=False)
+    assert parse_quant_mode("int4gpa8") == dict(bits=4, group_size=128,
+                                                act8=True, packed=True)
+    # every table row is a valid quantizer-knobs combination
+    for mode, qm in QUANT_MODES.items():
+        if qm["packed"]:
+            assert qm["bits"] == 4, mode
+    with pytest.raises(ValueError, match="unknown quantization mode"):
+        parse_quant_mode("int5")
+
+
+def test_w4a8_group_proj_matches_manual_math():
+    """The grouped W4A8 prefill path (act8 + group scales): per-token
+    absmax int8 activation quant -> per-group int8 dot (int32 accumulate
+    is exact) -> fp32 rescale by group weight scales, reduce, token
+    scale."""
+    from valley_tpu.models.llama import _A8_MIN_SEQ, _proj
+
+    k, o, group, s = 96, 64, 32, _A8_MIN_SEQ
+    g = k // group
+    w = jax.random.normal(jax.random.key(11), (o, k)) * \
+        (0.05 + 0.1 * jnp.arange(k) / k)
+    q, scale = quantize_tensor(w, bits=4, group_size=group)
+    assert scale.shape == (o, g)
+    lp = {"p": q, "p_scale_a8": scale}
+    x = jax.random.normal(jax.random.key(12), (1, s, k), jnp.float32)
+    y = np.asarray(_proj(lp, "p", x)).reshape(s, o)
+
+    xf = np.asarray(x, np.float32).reshape(s, k)
+    amax = np.maximum(np.abs(xf).max(-1, keepdims=True), 1e-6)
+    ascale = amax / 127.0
+    xq = np.round(xf / ascale).astype(np.int32).reshape(s, g, group)
+    wq = np.asarray(q, np.int32).reshape(o, g, group)
+    part = np.einsum("tgi,ogi->tog", xq, wq).astype(np.float32)
+    ref = (part * np.asarray(scale, np.float32)[None]).sum(-1) * ascale
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+    # quality: combined int4-group weight + per-token activation error
+    # stays in the int4 class even on this adversarial magnitude ramp
+    # (worst ELEMENT vs the global max — the mean-level gate lives in
+    # tools/quant_report.py)
+    full = xf @ np.asarray(w, np.float32).T
+    rel = np.abs(y - full).max() / np.abs(full).max()
+    assert rel < 0.2, rel
+
+
+def test_w4a8_below_seq_threshold_bit_identical_to_int4g():
+    """Decode / speculative-verify chunks (< _A8_MIN_SEQ wide) of an
+    int4ga8 tree take the IDENTICAL grouped dequant paths an int4g tree
+    does — bit-exact, so decode output is token-identical to int4g."""
+    from valley_tpu.models.llama import _A8_MIN_SEQ, _proj
+
+    k, o, group = 96, 64, 32
+    w = jax.random.normal(jax.random.key(13), (o, k)) * 0.1
+    q, scale = quantize_tensor(w, bits=4, group_size=group)
+    x = jax.random.normal(jax.random.key(14), (1, _A8_MIN_SEQ - 1, k),
+                          jnp.float32)
+    y_a8 = _proj({"p": q, "p_scale_a8": scale}, "p", x)
+    y_g = _proj({"p": q, "p_scale": scale}, "p", x)
+    np.testing.assert_array_equal(np.asarray(y_a8), np.asarray(y_g))
+
+
+def test_int4ga8_engine_below_gate_identical_above_gate_engages(
+        cfg, params):
+    """End-to-end _A8_MIN_SEQ contract for the GROUPED a8 modes through
+    the real engine (the int4 analogue of the int8a8 test above):
+    (1) below-gate generations of int4ga8 and int4gpa8 are bit-identical
+    to int4g's; (2) a >= 128-wide forward engages the W4A8 dot (logits
+    drift but stay close) and the engine still generates."""
+    from valley_tpu.ops.quant import pack_int4_params
+
+    gsize = cfg.text.hidden_size // 2
+    q_g = quantize_llama_params(jax.tree.map(jnp.copy, params), bits=4,
+                                group_size=gsize)
+    q_a8 = quantize_llama_params(jax.tree.map(jnp.copy, params), bits=4,
+                                 group_size=gsize, act8=True)
+    q_pa8 = pack_int4_params(jax.tree.map(jnp.copy, q_a8))
+    assert "wq_scale_a8" in q_a8["llama"]["layers"]
+    prompt = list(range(10, 25))
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False)
+
+    def gen_tokens(p, bucket, **kw):
+        eng = Engine(cfg, p, buckets=(bucket,), max_new_tokens=8,
+                     cache_dtype=jnp.float32, use_flash=False, **kw)
+        return [int(t[0]) for t in
+                eng.generate_tokens([prompt], gen=gen, eos_ids=[-1])]
+
+    expect = gen_tokens(q_g, 64, decode_w4=True)
+    assert gen_tokens(q_a8, 64, decode_w4=True) == expect
+    assert gen_tokens(q_pa8, 64, w4_packed=True) == expect
+
+    # (2) >= 128-wide forward: the W4A8 path engages
+    ids = jnp.asarray(
+        np.random.default_rng(1).integers(5, 400, (1, 130)))
+    lg_g = valley.forward(q_g, cfg, ids)
+    lg_a8 = valley.forward(q_a8, cfg, ids)
+    diff = float(jnp.abs(lg_g - lg_a8).max())
+    assert diff > 0.0, "W4A8 path never engaged at seq 130"
+    assert diff < 0.5 * float(jnp.abs(lg_g).max()), diff
+    assert len(gen_tokens(q_a8, 256, decode_w4=True)) == 6
+    assert len(gen_tokens(q_pa8, 256, w4_packed=True)) == 6
 
 
 # -- nibble-packed int4 storage (ops/quant.pack_int4_params) -------------
@@ -510,7 +624,8 @@ def _host_tree(params):
 
 
 @pytest.mark.parametrize("bits,gsize,act8", [
-    (8, 0, False), (8, 0, True), (4, 0, False), (4, 32, False)])
+    (8, 0, False), (8, 0, True), (4, 0, False), (4, 32, False),
+    (4, 32, True)])
 def test_host_quantizer_matches_device(cfg, params, bits, gsize, act8):
     """`quantize_llama_params_host` (numpy, the 13B quantize-on-load
     path) is bit-identical to the device quantizer: same int8 codes,

@@ -195,7 +195,8 @@ def test_step_timer():
 
 # -- bench.py closed-form quantized perf weights -------------------------
 
-@pytest.mark.parametrize("qmode", ["int8", "int8a8", "int4g", "int4gp"])
+@pytest.mark.parametrize("qmode", ["int8", "int8a8", "int4g", "int4gp",
+                                   "int4ga8", "int4gpa8"])
 def test_bench_perf_quant_params_matches_quantizer(qmode):
     """bench._perf_quant_params (the 13B builder that avoids the 26 GB
     bf16 transient) must be BIT-IDENTICAL to building the constant bf16
@@ -222,11 +223,13 @@ def test_bench_perf_quant_params_matches_quantizer(qmode):
                                      fused=True), jax.random.key(0))
     ref = jax.tree.map(lambda s: jnp.full(s.shape, 0.008, s.dtype),
                        shapes)
-    ref = quantize_llama_params(
-        ref, bits=4 if qmode.startswith("int4") else 8,
-        group_size=128 if qmode in ("int4g", "int4gp") else 0,
-        act8=qmode == "int8a8")
-    if qmode == "int4gp":
+    from valley_tpu.ops.quant import parse_quant_mode
+
+    qm = parse_quant_mode(qmode)
+    ref = quantize_llama_params(ref, bits=qm["bits"],
+                                group_size=qm["group_size"],
+                                act8=qm["act8"])
+    if qm["packed"]:
         ref = pack_int4_params(ref)
 
     got = bench._perf_quant_params(cfg, fused=True, qmode=qmode)

@@ -233,15 +233,23 @@ def e2e_capture(cfg, host_params, mode: str, prompts, new_tokens: int,
     if mode == "int4":
         params = quantize_llama_params(params, bits=4)
         decode_w4 = True
-    elif mode == "int4gp":
+    elif mode in ("int4gp", "int4gpa8"):
         # nibble-packed int4g: same VALUES as int4g128 (pack/unpack is
         # exact), but the gate runs the real packed pipeline — unpack
-        # view in every executable — so a packing bug can't hide
+        # view in every executable — so a packing bug can't hide.
+        # int4gpa8 additionally routes >= 128-wide chunks through the
+        # grouped W4A8 dot (llama._w4a8_group_dot), so its prefill drift
+        # includes the activation quantization.
         from valley_tpu.ops.quant import pack_int4_params
 
-        params = quantize_llama_params(params, bits=4, group_size=128)
+        params = quantize_llama_params(params, bits=4, group_size=128,
+                                       act8=mode.endswith("a8"))
         params = pack_int4_params(params)
         w4_packed = True
+    elif mode == "int4ga8":
+        params = quantize_llama_params(params, bits=4, group_size=128,
+                                       act8=True)
+        decode_w4 = True
     elif mode.startswith("int4g"):
         params = quantize_llama_params(params, bits=4,
                                        group_size=int(mode[5:]))
@@ -330,11 +338,17 @@ DEFAULT_GATES = {   # mode -> (max mean recon error, min top1 agreement)
     "int8a8": (0.010, 0.97),   # weight recon == int8; top-1 absorbs the
     "int4": (0.120, 0.90),     # prefill activation-quant drift
     "int4g": (0.040, 0.97),
-}
+    "int4ga8": (0.040, 0.95),  # int4g weights + per-token W4A8 prefill
+}                              # activation drift on top of group recon
 
 
 def gate_for(mode: str, args):
-    base = DEFAULT_GATES["int4g" if mode.startswith("int4g") else mode]
+    if mode in ("int4ga8", "int4gpa8"):
+        base = DEFAULT_GATES["int4ga8"]
+    elif mode.startswith("int4g"):
+        base = DEFAULT_GATES["int4g"]
+    else:
+        base = DEFAULT_GATES[mode]
     return (args.max_recon if args.max_recon is not None else base[0],
             args.min_top1 if args.min_top1 is not None else base[1])
 
@@ -390,7 +404,7 @@ def main():
             if mode == "bf16":
                 continue
             bits = 4 if mode.startswith("int4") else 8
-            gsize = (128 if mode == "int4gp"
+            gsize = (128 if mode in ("int4gp", "int4gpa8", "int4ga8")
                      else int(mode[5:]) if mode.startswith("int4g")
                      else 0)
             rec = recon_errors(host, bits, gsize)
@@ -425,8 +439,8 @@ def main():
     for mode in args.modes.split(","):
         mode = mode.strip()
         bits = 4 if mode.startswith("int4") else 8
-        if mode == "int4gp":            # packed int4g128: same values
-            gsize = 128
+        if mode in ("int4gp", "int4gpa8", "int4ga8"):
+            gsize = 128     # packed / a8 variants: same group-128 values
         elif mode.startswith("int4g"):
             gsize = int(mode[5:])
         else:

@@ -198,11 +198,49 @@ def _w8a8_dot(x: jnp.ndarray, w: jnp.ndarray,
     amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6)
     ascale = amax / 127.0
     xq = jnp.round(xf / ascale).astype(jnp.int8)
+    if w.dtype != jnp.int8:
+        w = w.astype(jnp.int8)   # int4 storage (w4_packed view): exact
     y = jax.lax.dot_general(xq, w, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.int32)
     out = y.astype(jnp.float32) * ascale \
         * scale[None, :].astype(jnp.float32)
     return out.reshape(x.shape[:-1] + (o,)).astype(x.dtype)
+
+
+def _w4a8_group_dot(x: jnp.ndarray, w: jnp.ndarray,
+                    scale: jnp.ndarray) -> jnp.ndarray:
+    """Grouped W4A8: per-token int8 activation quant + one batched int8
+    dot per group on the int8 MXU (the int4g/int4gp analogue of
+    `_w8a8_dot`).
+
+    int4 values expand to int8 EXACTLY, so the only added error vs the
+    bf16 grouped einsum is the activation rounding — the same per-token
+    granularity `_w8a8_dot` uses.  (Per-(token, group) activation scales
+    were measured and REJECTED: the grouped quant lowers to 0.64x the
+    bf16 einsum on v5e, while per-token scales reach 1.14x at 7B /
+    1.25x at 13B prefill GEMM shapes — tools/exp_w4a8_prefill.py.)
+    ``w`` is (out, in) int8/int4-range, ``scale`` (out, K/group) — the
+    dot batches over groups, accumulates int32 (exact), rescales by the
+    weight group scale in fp32, reduces over groups, then applies the
+    token scale."""
+    o, k = w.shape[-2:]
+    g = scale.shape[-1]
+    gs = k // g
+    t = 1
+    for d in x.shape[:-1]:
+        t *= d
+    xf = x.reshape(t, k).astype(jnp.float32)
+    a = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                    1e-6) / 127.0                              # (t, 1)
+    xq = jnp.round(xf / a).astype(jnp.int8).reshape(t, g, gs)
+    wq = w.reshape(o, g, gs)
+    if wq.dtype != jnp.int8:
+        wq = wq.astype(jnp.int8)     # int4 storage (w4_packed view): exact
+    part = jnp.einsum("tgi,ogi->tog", xq, wq,
+                      preferred_element_type=jnp.int32)
+    y = jnp.sum(part.astype(jnp.float32)
+                * scale[None].astype(jnp.float32), axis=-1) * a
+    return y.reshape(x.shape[:-1] + (o,)).astype(x.dtype)
 
 
 def _proj(lp, name: str, x: jnp.ndarray, lora_rng=None,
@@ -238,7 +276,17 @@ def _proj(lp, name: str, x: jnp.ndarray, lora_rng=None,
             b = 1
             for d in x.shape[:-1]:
                 b *= d
-            if b * g < 128:
+            if a8_scale is not None and x.ndim >= 2 \
+                    and x.shape[-2] >= _A8_MIN_SEQ:
+                # Grouped W4A8 (quantize_llama_params act8 + group_size;
+                # worker --quantize int4ga8/int4gpa8): >= 128-wide chunks
+                # (prefill buckets, long session extensions) ride the
+                # int8 MXU — same gate semantics as the per-channel W8A8
+                # path below, same caveat (prefill logits and written KV
+                # carry activation-quant error; decode/speculative
+                # executables stay bit-equivalent to int4g/int4gp).
+                out = _w4a8_group_dot(x, w, scale)
+            elif b * g < 128:
                 # decode-shape fast path: ONE dense pass against a
                 # block-diagonal expansion of x.  The MXU computes up to
                 # 128 output columns per weight pass, so the b*g partial

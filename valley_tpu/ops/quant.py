@@ -32,6 +32,34 @@ import numpy as np
 QUANT_TARGETS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
                  "wqkv", "w_gateup")   # last two: fused serving layout
 
+# Serving quantization modes (worker --quantize, bench VALLEY_BENCH_QUANT,
+# hf_bridge quantize-on-load, quant_report) -> quantizer knobs.  One table
+# so a new mode is one row, parsed identically everywhere.
+QUANT_MODES = {
+    #            bits  group  act8   packed
+    "int8":     dict(bits=8, group_size=0,   act8=False, packed=False),
+    "int8a8":   dict(bits=8, group_size=0,   act8=True,  packed=False),
+    "int4":     dict(bits=4, group_size=0,   act8=False, packed=False),
+    "int4g":    dict(bits=4, group_size=128, act8=False, packed=False),
+    "int4gp":   dict(bits=4, group_size=128, act8=False, packed=True),
+    "int4ga8":  dict(bits=4, group_size=128, act8=True,  packed=False),
+    "int4gpa8": dict(bits=4, group_size=128, act8=True,  packed=True),
+}
+
+
+def parse_quant_mode(mode: str) -> dict:
+    """Mode string -> dict(bits, group_size, act8, packed).
+
+    ``act8`` selects W8A8/W4A8 on >= `llama._A8_MIN_SEQ`-wide chunks
+    (prefill + long session extensions) — decode executables stay
+    bit-equivalent to the non-a8 mode either way; ``packed`` nibble-packs
+    the int4-range tree to 0.5 B/weight (`pack_int4_params`)."""
+    try:
+        return dict(QUANT_MODES[mode])
+    except KeyError:
+        raise ValueError(f"unknown quantization mode {mode!r} "
+                         f"(one of {sorted(QUANT_MODES)})") from None
+
 
 def _quantize_one(w: jnp.ndarray, contract_axis: int = -1,
                   bits: int = 8, group_size: int = 0):
@@ -125,10 +153,21 @@ def quantize_llama_params(params, targets: Sequence[str] = QUANT_TARGETS,
 
     Gate a checkpoint's end-to-end drift (prefill + a long multi-turn
     extension chunk) with tools/quant_report.py ``int8a8``.
+
+    ``act8=True`` composes with ``bits=4`` + ``group_size`` (W4A8, worker
+    ``--quantize int4ga8``/``int4gpa8``): int4 values expand to int8
+    exactly, so >= 128-wide chunks run per-(token, group) int8 activation
+    quant + a batched int8-MXU dot (`llama._w4a8_group_dot`) instead of
+    the bf16 grouped einsum — the int4-mode analogue of int8a8's prefill
+    speedup.  Per-channel int4 (no groups) cannot take the a8 path.
     """
-    if act8 and (bits != 8 or group_size):
-        raise ValueError("act8 (W8A8) requires bits=8 and per-channel "
-                         "scales (group_size=0)")
+    if act8 and bits == 4 and not group_size:
+        raise ValueError("act8 with bits=4 requires group_size scales "
+                         "(use int4ga8/int4gpa8 — per-channel int4 has "
+                         "no W4A8 path)")
+    if act8 and bits == 8 and group_size:
+        raise ValueError("act8 with bits=8 uses per-channel scales "
+                         "(group_size=0)")
     scale_key = "_scale_a8" if act8 else "_scale"
     llama_p = params["llama"]            # mutated in place, see docstring
     layers = llama_p["layers"]
@@ -250,9 +289,13 @@ def quantize_llama_params_host(params,
     """Numpy mirror of `quantize_llama_params` for HOST trees (see
     section comment).  Consumes the input tree tensor by tensor so host
     RAM peaks at ~(tree + one tensor)."""
-    if act8 and (bits != 8 or group_size):
-        raise ValueError("act8 (W8A8) requires bits=8 and per-channel "
-                         "scales (group_size=0)")
+    if act8 and bits == 4 and not group_size:
+        raise ValueError("act8 with bits=4 requires group_size scales "
+                         "(use int4ga8/int4gpa8 — per-channel int4 has "
+                         "no W4A8 path)")
+    if act8 and bits == 8 and group_size:
+        raise ValueError("act8 with bits=8 uses per-channel scales "
+                         "(group_size=0)")
     scale_key = "_scale_a8" if act8 else "_scale"
     llama_p = params["llama"]
     layers = llama_p["layers"]

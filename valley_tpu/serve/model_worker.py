@@ -962,26 +962,23 @@ def load_engine(args):
         from valley_tpu.models.llama import fuse_llama_params
 
         params = fuse_llama_params(params)
-    if not loaded_quantized and \
-            getattr(args, "quantize", None) in ("int8", "int8a8", "int4",
-                                                "int4g", "int4gp"):
+    if not loaded_quantized and getattr(args, "quantize", None):
         from valley_tpu.ops.quant import (pack_int4_params,
+                                          parse_quant_mode,
                                           quantize_llama_params)
 
-        params = quantize_llama_params(
-            params, bits=4 if args.quantize.startswith("int4") else 8,
-            # int4g(p): one scale per 128 inputs — 4x lower
-            # reconstruction error than per-channel at the same decode
-            # speed (the block-diagonal GEMV formulation,
-            # models/llama._proj; 121.9 vs 123.8 tok/s same-window,
-            # tools/exp_int4_group.py)
-            group_size=128 if args.quantize in ("int4g", "int4gp") else 0,
-            # int8a8: W8A8 prefill on the int8 MXU path — decode stays
-            # bit-identical to int8 (llama._proj sequence-length gate)
-            act8=args.quantize == "int8a8")
-        if args.quantize == "int4gp":
-            # nibble-packed storage: resident weights at 0.5 B/weight —
-            # 13B serves from ONE 16 GB chip (ops/quant.pack_int4_params)
+        # mode -> knobs (ops/quant.QUANT_MODES): int4g(p) = one scale per
+        # 128 inputs (4x lower reconstruction error than per-channel at
+        # the same decode speed — the block-diagonal GEMV formulation,
+        # models/llama._proj); *a8 = W8A8/W4A8 prefill on the int8 MXU —
+        # decode stays bit-identical to the non-a8 mode (llama._proj
+        # sequence-length gate); *p = nibble-packed storage, resident
+        # weights at 0.5 B/weight (how 13B serves from ONE 16 GB chip).
+        qm = parse_quant_mode(args.quantize)
+        params = quantize_llama_params(params, bits=qm["bits"],
+                                       group_size=qm["group_size"],
+                                       act8=qm["act8"])
+        if qm["packed"]:
             params = pack_int4_params(params)
     if getattr(args, "quantize_vision", None) in ("int8", "int8a8"):
         # the frozen CLIP tower only runs prefill-shaped matmuls, so
@@ -1022,8 +1019,9 @@ def load_engine(args):
                     decode_ramp=tuple(int(s) for s in ramp.split(","))
                     if ramp else (),
                     decode_w4=getattr(args, "quantize", None) in
-                    ("int4", "int4g"),
-                    w4_packed=getattr(args, "quantize", None) == "int4gp",
+                    ("int4", "int4g", "int4ga8"),
+                    w4_packed=getattr(args, "quantize", None) in
+                    ("int4gp", "int4gpa8"),
                     frame_buckets=fbt, mesh=mesh,
                     raw_media=bool(getattr(args, "raw_pixels", True)))
     return engine, tokenizer
@@ -1086,7 +1084,7 @@ def main():
                              "disables")
     parser.add_argument("--quantize", type=str, default=None,
                         choices=["int8", "int8a8", "int4", "int4g",
-                                 "int4gp"],
+                                 "int4gp", "int4ga8", "int4gpa8"],
                         help="weight-only decoder quantization: int8 "
                              "(~1.8x decode), int8a8 (int8 decode + "
                              "W8A8 prefill on the int8 MXU — measured "
@@ -1101,7 +1099,11 @@ def main():
                              "reconstruction error), int4gp (int4g "
                              "values NIBBLE-PACKED to 0.5 B/weight "
                              "resident — serves 13B from one 16 GB "
-                             "chip), or int4 "
+                             "chip), int4ga8/int4gpa8 (int4g/int4gp "
+                             "decode + grouped W4A8 prefill on the int8 "
+                             "MXU — the a8 treatment for the 4-bit "
+                             "modes; same activation-quant caveat as "
+                             "int8a8), or int4 "
                              "(per-channel scales, fastest by ~1.5%%). "
                              "With --model-path, quantization runs "
                              "ON LOAD (host-side, bit-identical): the "

@@ -485,7 +485,8 @@ def load_valley_checkpoint(path: str, vision_tower: Optional[str] = None,
     `model.vision_tower.`), else from ``vision_tower`` (a local CLIP
     checkpoint dir).
 
-    ``quantize`` ('int8' | 'int8a8' | 'int4' | 'int4g' | 'int4gp') runs
+    ``quantize`` (any `ops.quant.QUANT_MODES` name — 'int8' | 'int8a8' |
+    'int4' | 'int4g' | 'int4gp' | 'int4ga8' | 'int4gpa8') runs
     QUANTIZE-ON-LOAD: the decoder converts / (optionally) fuses /
     quantizes / packs entirely on the HOST and only the final quantized
     tree transfers to device — a 13B bf16 tree (~26 GB) never exists on
@@ -536,6 +537,7 @@ def load_valley_checkpoint(path: str, vision_tower: Optional[str] = None,
 
         from valley_tpu.models.llama import fuse_llama_params
         from valley_tpu.ops.quant import (pack_int4_params_host,
+                                          parse_quant_mode,
                                           quantize_llama_params_host)
 
         # resize may have produced device leaves for embed/lm_head —
@@ -546,12 +548,12 @@ def load_valley_checkpoint(path: str, vision_tower: Optional[str] = None,
             for k, v in params["llama"].items()}
         if fused:
             fuse_llama_params(params)     # host path (no jax.Array leaves)
+        qm = parse_quant_mode(quantize)
         quantize_llama_params_host(
-            params, bits=4 if quantize.startswith("int4") else 8,
-            group_size=quantize_group_size
-            if quantize in ("int4g", "int4gp") else 0,
-            act8=quantize == "int8a8")
-        if quantize == "int4gp":
+            params, bits=qm["bits"],
+            group_size=quantize_group_size if qm["group_size"] else 0,
+            act8=qm["act8"])
+        if qm["packed"]:
             pack_int4_params_host(params)
         # single transfer of the final (quantized) tree, tensor by tensor
         params["llama"] = jax.tree.map(jnp.asarray, params["llama"])
