@@ -89,6 +89,34 @@ def test_quantized_tp_inference_matches(cfg, params):
     assert got == expect
 
 
+def test_int4gpa8_tp_inference_matches(cfg, params):
+    """Grouped W4A8 + nibble-packed storage + tensor parallelism compose:
+    the (L, out, G) grouped a8 scales follow their weight's model axis
+    (the rank-2 scale spec replicates the trailing group dim), the
+    packed uint8 tree unpacks inside sharded executables, and a 128-wide
+    prefill engages the W4A8 dot under the mesh."""
+    from valley_tpu.ops.quant import pack_int4_params
+    from valley_tpu.parallel import create_mesh
+
+    gsize = cfg.text.hidden_size // 2
+    q = quantize_llama_params(jax.tree.map(jnp.copy, params), bits=4,
+                              group_size=gsize, act8=True)
+    q = pack_int4_params(q)
+    gen = GenerationConfig(max_new_tokens=4, do_sample=False)
+    prompt = list(range(10, 25))
+    base = Engine(cfg, jax.tree.map(jnp.copy, q), buckets=(128,),
+                  max_new_tokens=6, cache_dtype=jnp.float32,
+                  use_flash=False, w4_packed=True)
+    expect = [int(t[0]) for t in base.generate_tokens(
+        [prompt], gen=gen, eos_ids=[-1])]
+    sharded = Engine(cfg, q, buckets=(128,), max_new_tokens=6,
+                     cache_dtype=jnp.float32, use_flash=False,
+                     w4_packed=True, mesh=create_mesh(1, 2, 2))
+    got = [int(t[0]) for t in sharded.generate_tokens(
+        [prompt], gen=gen, eos_ids=[-1])]
+    assert got == expect
+
+
 def test_quantized_chat_session_matches_reprefill(cfg, params):
     """int8 + multi-turn KV reuse compose."""
     from valley_tpu.inference.engine import ChatSession

@@ -54,14 +54,16 @@ def main():
             jax.random.key(0))
         params = jax.tree.map(
             lambda s: jnp.full(s.shape, 0.008, s.dtype), shapes)
-        if qmode in ("int8", "int4", "int4g", "int4gp"):
+        if qmode:
             from valley_tpu.ops.quant import (pack_int4_params,
+                                              parse_quant_mode,
                                               quantize_llama_params)
 
-            params = quantize_llama_params(
-                params, bits=4 if qmode.startswith("int4") else 8,
-                group_size=128 if qmode in ("int4g", "int4gp") else 0)
-            if qmode == "int4gp":
+            qm = parse_quant_mode(qmode)
+            params = quantize_llama_params(params, bits=qm["bits"],
+                                           group_size=qm["group_size"],
+                                           act8=qm["act8"])
+            if qm["packed"]:
                 params = pack_int4_params(params)
     jax.block_until_ready(params)
 
@@ -72,8 +74,8 @@ def main():
     eng = Engine(cfg, params, buckets=(512,), max_new_tokens=new + 1,
                  steps_per_call=new,
                  cache_dtype=jnp.int8 if size == "13b" else jnp.bfloat16,
-                 decode_w4=qmode in ("int4", "int4g"),
-                 w4_packed=qmode == "int4gp")
+                 decode_w4=qmode in ("int4", "int4g", "int4ga8"),
+                 w4_packed=qmode in ("int4gp", "int4gpa8"))
     gen = GenerationConfig(max_new_tokens=new, do_sample=False)
 
     def run_plain():
