@@ -1101,9 +1101,15 @@ def main():
                              "resident — serves 13B from one 16 GB "
                              "chip), int4ga8/int4gpa8 (int4g/int4gp "
                              "decode + grouped W4A8 prefill on the int8 "
-                             "MXU — the a8 treatment for the 4-bit "
-                             "modes; same activation-quant caveat as "
-                             "int8a8), or int4 "
+                             "MXU; same activation-quant caveat as "
+                             "int8a8.  Measured round 5: int4ga8 wins "
+                             "at 7B — video first-token 0.196 s vs "
+                             "int4g's 0.204 same-window; int4gpa8 at "
+                             "13B REGRESSES — 0.414 s vs int4gp's "
+                             "0.379, the nibble unpack feeding the int8 "
+                             "dot eats the MXU gain (tools/"
+                             "exp_w4a8_aot.py) — keep int4gp for 13B), "
+                             "or int4 "
                              "(per-channel scales, fastest by ~1.5%%). "
                              "With --model-path, quantization runs "
                              "ON LOAD (host-side, bit-identical): the "
