@@ -503,3 +503,45 @@ def test_spec_pool_tp_mesh_matches_plain(cfg, params):
             got.append(int(item))
             assert time.time() < deadline, "pooled spec decode timed out"
         assert got == want, (got, want)
+
+
+def test_disable_below_resolves_per_weight_mode(cfg):
+    """disable_below=None resolves at READ time from the engine's
+    weight mode: 4-bit decode engines pay 2.6-3.0x a plain step per
+    verification round (tools/exp_spec_7b.py, round 5) vs int8's
+    1.44x, so their default threshold must be the higher break-even —
+    a 7B-calibrated 0.40 would keep speculation on while running well
+    below plain decode speed on a 13B int4gp worker."""
+    from valley_tpu.inference.speculative import (DISABLE_BELOW_DEFAULT,
+                                                  DISABLE_BELOW_W4,
+                                                  resolved_disable_below)
+    from valley_tpu.ops.quant import quantize_llama_params
+
+    params = valley.init_params(cfg, jax.random.key(1), jnp.float32)
+    q8 = quantize_llama_params(
+        jax.tree.map(jnp.copy, params))
+    eng8 = Engine(cfg, q8, buckets=(64,), max_new_tokens=8,
+                  cache_dtype=jnp.int8, use_flash=False)
+    q4 = quantize_llama_params(
+        jax.tree.map(jnp.copy, params), bits=4, group_size=8)
+    eng4 = Engine(cfg, q4, buckets=(64,), max_new_tokens=8,
+                  cache_dtype=jnp.int8, use_flash=False, decode_w4=True)
+
+    default = SpecConfig()
+    assert default.disable_below is None
+    assert resolved_disable_below(default, eng8) == DISABLE_BELOW_DEFAULT
+    assert resolved_disable_below(default, eng4) == DISABLE_BELOW_W4
+    assert DISABLE_BELOW_W4 > DISABLE_BELOW_DEFAULT
+
+    # explicit values always win (worker warmup sets 10.0 to force the
+    # plain-fallback executable to compile; tests set 0.0 to pin spec on)
+    forced = SpecConfig(disable_below=10.0)
+    assert resolved_disable_below(forced, eng4) == 10.0
+    # and the warmup MUTATION pattern keeps working: the threshold is
+    # read per check, never cached at decoder init
+    dec = SpecDecoder(eng4, SpecConfig(draft_len=2, rounds_per_call=2))
+    assert resolved_disable_below(dec.spec, dec.engine) == DISABLE_BELOW_W4
+    dec.spec.disable_below = 10.0
+    assert resolved_disable_below(dec.spec, dec.engine) == 10.0
+    dec.spec.disable_below = None
+    assert resolved_disable_below(dec.spec, dec.engine) == DISABLE_BELOW_W4

@@ -882,15 +882,20 @@ class ContinuousEngine:
                         self._acc_ema = acc
                     else:
                         self._acc_ema += 0.2 * (acc - self._acc_ema)
+                    from valley_tpu.inference.speculative import \
+                        resolved_disable_below
+
+                    threshold = resolved_disable_below(self._spec,
+                                                       self.engine)
                     if self._spec.adaptive and not self._warming and \
-                            self._acc_ema < self._spec.disable_below:
+                            self._acc_ema < threshold:
                         self._spec_live = False
                         self._plain_left = self._spec.reprobe_chunks
                         self.spec_disables += 1
                         logger.info(
                             "pool speculation paused (acceptance EMA "
                             "%.2f < %.2f); re-probe in %d chunks",
-                            self._acc_ema, self._spec.disable_below,
+                            self._acc_ema, threshold,
                             self._plain_left)
                         # the probe chunk must re-measure fresh traffic,
                         # not inherit the low EMA that paused it

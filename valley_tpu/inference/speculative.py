@@ -139,22 +139,55 @@ class SpecConfig:
     ngram: int = 4            # MAX match length (tried deepest-first)
     rounds_per_call: int = 16  # fused rounds per device call
 
-    # Acceptance-adaptive control: a verification round costs ~1.44x a
-    # plain decode step (tools/exp_spec_7b.py), so speculation LOSES
-    # whenever accepted drafts/round stay below ~0.44 (fully-novel text
-    # measures ~0.30 — about 10% slower than plain decode).  Each reply
-    # starts with one short ``probe_rounds`` call; afterwards, whenever
-    # the reply's cumulative acceptance drops below ``disable_below``
-    # the decoder falls back to plain fused decode for the REST of the
-    # reply (greedy output is token-identical either way; sampling is
+    # Acceptance-adaptive control: each reply starts with one short
+    # ``probe_rounds`` call; afterwards, whenever the reply's cumulative
+    # acceptance drops below the disable threshold the decoder falls
+    # back to plain fused decode for the REST of the reply (greedy
+    # output is token-identical either way; sampling is
     # distribution-exact either way, so switching is free).  Worst-case
     # novel-text overhead drops from ~10% to the probe cost (~2% of a
     # 96-token reply).  Sessions re-probe each turn (conversation
     # acceptance patterns change turn to turn).
+    #
+    # The break-even acceptance is HOW MUCH a verification round costs
+    # relative to a plain decode step, and that ratio depends on the
+    # weight mode (tools/exp_spec_7b.py, D=8 full-accept rounds): int8/
+    # bf16 GEMVs widen to D+1 rows nearly free (round ~1.44x a step ->
+    # break-even ~0.44 accepted/round), but 4-bit decode modes pay the
+    # grouped-einsum path for the widened verification GEMMs (b*g >=
+    # one MXU tile, llama._proj) — measured round 5 at D=8: rounds
+    # cost 2.82x / 2.94x / 2.95x a plain step (7B int4g / 7B int4gp /
+    # 13B int4gp), break-even 1.82-1.95 accepted/round.
+    # ``disable_below=None`` (default) resolves per engine at READ
+    # time via `resolved_disable_below` (read-time so warmup's
+    # temporary mutation keeps working): 0.40 for int8/bf16 engines,
+    # 1.70 for decode_w4/w4_packed engines.  Pass an explicit float to
+    # override.
     adaptive: bool = True
-    disable_below: float = 0.40   # accepted drafts/round; break-even .44
+    disable_below: Optional[float] = None  # accepted drafts/round
     probe_rounds: int = 4         # first-call round count per reply
     reprobe_chunks: int = 32      # pool: plain chunks between re-probes
+
+
+# measured break-evens minus ~10% margin (biased to keep speculation on:
+# acceptance estimates over a few rounds are noisy) — ROUND_NOTES round
+# 4 (int8: 0.44 -> 0.40) and round 5 (4-bit: 1.82-1.95 at D=8 -> 1.70)
+DISABLE_BELOW_DEFAULT = 0.40
+DISABLE_BELOW_W4 = 1.70
+
+
+def resolved_disable_below(spec: "SpecConfig", engine) -> float:
+    """The adaptive disable threshold for this engine's weight mode
+    (see SpecConfig.disable_below).  Called at every acceptance check,
+    not cached at decoder init — worker warmup temporarily mutates
+    ``spec.disable_below`` to force the plain-fallback executable to
+    compile, and a cached value would ignore that."""
+    if spec.disable_below is not None:
+        return spec.disable_below
+    if getattr(engine, "w4_packed", False) or \
+            getattr(engine, "decode_w4", False):
+        return DISABLE_BELOW_W4
+    return DISABLE_BELOW_DEFAULT
 
 
 class SpecDecoder:
@@ -385,7 +418,8 @@ class SpecDecoder:
                     if int(t) in eos or emitted >= max_new:
                         return
             if spec.adaptive and \
-                    tot_accept / max(1, tot_rounds) < spec.disable_below:
+                    tot_accept / max(1, tot_rounds) \
+                    < resolved_disable_below(spec, eng):
                 spec_on = False
                 self._count(disabled=1)
                 slot_h = int(np.asarray(slot))
@@ -509,7 +543,7 @@ class SpecChatSession(ChatSession):
                     break
             if spec.adaptive and not stopped and len(tokens) < max_new \
                     and tot_accept / max(1, tot_rounds) \
-                    < spec.disable_below:
+                    < resolved_disable_below(spec, self.engine):
                 # this turn's acceptance is below break-even: finish the
                 # turn with the base class's plain fused decode (token-
                 # identical greedy / distribution-exact sampled).  The
