@@ -71,6 +71,15 @@ def test_run_valley_llamma_v2_subprocess(tiny_video):
     assert r.stdout.endswith("\n"), repr(r.stdout)
 
 
+def test_batch_infer_help_subprocess():
+    """batch_infer's CLI surface parses (full runs are covered in-process
+    by tests/test_batch_infer.py — a subprocess run would just repeat the
+    tiny-model compile)."""
+    r = _run(["valley_tpu.inference.batch_infer", "--help"], timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "--input" in r.stdout and "--quantize" in r.stdout
+
+
 def test_run_valley_conv_scripted_stdin(tiny_video):
     """The interactive REPL, driven by a script: one question, then
     exit.  Asserts the assistant role prompt and a clean exit."""

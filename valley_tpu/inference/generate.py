@@ -34,11 +34,14 @@ def media_replace_token(num_patches: int = 256,
 
 
 def build_prompt(messages: Sequence[dict], num_patches: int = 256,
-                 num_frames: int = DEFAULT_NUM_FRAMES) -> str:
+                 num_frames: int = DEFAULT_NUM_FRAMES,
+                 require_media: bool = True) -> str:
     """openai-style messages -> '###'-separated Valley prompt.
 
     Accepts both 'assistant' and the reference's 'assistent' spelling
-    (`valley_model.py:394`, SURVEY §7 quirk list).
+    (`valley_model.py:394`, SURVEY §7 quirk list).  ``require_media=False``
+    permits text-only conversations (batch_infer's text rows; the
+    reference's builder always demands a <video>, `valley_model.py:399`).
     """
     replace = media_replace_token(num_patches, num_frames)
     parts: List[str] = []
@@ -60,7 +63,7 @@ def build_prompt(messages: Sequence[dict], num_patches: int = 256,
                 'Role must be "assistant", "user"/"human", or "system", '
                 f"got {role!r}")
     prompt = "".join(parts)
-    if DEFAULT_IM_START_TOKEN not in prompt:
+    if require_media and DEFAULT_IM_START_TOKEN not in prompt:
         raise ValueError("You need to specify the <video> token in the query")
     return prompt
 
