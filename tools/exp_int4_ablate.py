@@ -29,6 +29,27 @@ fit one chip).  One mode per process (a 16 GB chip cannot hold two
 compiled 7B decode arenas).  Usage:
     PYTHONPATH=/root/repo:/root/.axon_site \
         python tools/exp_int4_ablate.py <mode> [n_steps]
+
+MEASURED (round 5, one chip window, 128-step fused calls) — the gap is
+RESOLVED, see ROUND_NOTES.md "int4 decode phys gap resolved":
+
+    7b int8ref   10.204 ms/tok   98.0 tok/s   (byte model 10.05 -> phys 0.98)
+    7b noview    10.803 ms/tok   92.6 tok/s   (int8-width stream + group
+                                               math: model + 0.6 ms group
+                                               term -> phys 0.99)
+    7b base       8.166 ms/tok  122.5 tok/s   (S4 stream; byte model
+                                               predicts 6.36 ms)
+
+noview proves the group-scale math costs only ~0.6 ms/tok at int8
+width; the remaining 1.8 ms/tok is the S4 stream itself: 3.44 GB /
+(8.17 - 1.48 - 0.6) ms = 565 GB/s physical vs 750 achievable — the VPU
+nibble-unpack throttles sub-byte streams to ~70% of the byte rate.
+tools/exp_s4_mxu.py confirms it consumer-independently (S4 ~60% of the
+int8 physical rate on BOTH the bf16 dequant-dot and the int8-MXU dot:
+no XLA dot formulation recovers it).  nogroup's per-channel-int4
+executable exceeds a 550 s compile budget on this toolchain and was
+not measured; packed/nohead/noattn add nothing once the stream rate is
+identified.
 """
 
 from __future__ import annotations
@@ -73,38 +94,20 @@ def time_engine_decode(eng, params, n, smax=640, plen=472, iters=4):
     return min(ts[1:])
 
 
-def convertbw(n_elem: int = 2 ** 31, iters: int = 6):
-    """Element throughput of S4->bf16 / S4->int8 convert+reduce vs the
-    int8 byte-rate anchor, at decoder-weight scale (2**31 elem = one
-    ~6.6G-weight pass in three chunks)."""
-    shape = (n_elem // (4096 * 128), 4096, 128)
-    w4 = jnp.full(shape, 7, jnp.int4)
-    w8 = jnp.full(shape, 7, jnp.int8)
-    jax.block_until_ready((w4, w8))
+def convertbw():
+    """S4 vs int8 weight-stream rate, measured through the GEMV the
+    decode path actually runs (tools/exp_s4_mxu.py).  A standalone
+    S4 reduce cannot be timed on this toolchain: int4 buffers cannot
+    cross jit boundaries (eager ``jnp.full(..., jnp.int4)`` recurses in
+    apply_primitive), and an in-jit S4 temp's loop-invariant reduce is
+    CSE'd — the GEMV sweep with a per-rep-scaled activation is the
+    clean formulation.  Measured round 5: S4 streams at ~60-70% of the
+    int8 physical byte rate in EVERY consumer (VPU dequant-dot, int8
+    MXU dot), which fully accounts for the 4-bit modes' phys 0.66-0.71
+    vs the 802 GB/s byte model."""
+    import exp_s4_mxu
 
-    cases = {
-        "s4->bf16 sum": jax.jit(lambda w: jnp.sum(
-            w.astype(jnp.bfloat16), dtype=jnp.float32)),
-        "s4->int8 sum": jax.jit(lambda w: jnp.sum(
-            w.astype(jnp.int8), dtype=jnp.int32)),
-        "int8 sum (byte anchor)": jax.jit(lambda w: jnp.sum(
-            w, dtype=jnp.int32)),
-        "int8->bf16 sum": jax.jit(lambda w: jnp.sum(
-            w.astype(jnp.bfloat16), dtype=jnp.float32)),
-    }
-    n = float(np.prod(shape))
-    for name, fn in cases.items():
-        src = w4 if name.startswith("s4") else w8
-        ts = []
-        for _ in range(iters + 1):
-            t0 = time.perf_counter()
-            sync(fn(src))
-            ts.append(time.perf_counter() - t0)
-        t = min(ts[1:])
-        bytes_ = n * (0.5 if name.startswith("s4") else 1.0)
-        print(f"  {name:24s}: {t*1e3:7.2f} ms  "
-              f"{n/t/1e9:7.1f} Gelem/s  {bytes_/t/1e9:6.1f} GB/s",
-              flush=True)
+    exp_s4_mxu.main()
 
 
 def main():
