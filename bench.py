@@ -98,6 +98,13 @@ HBM_ACH_GBPS = float(os.environ.get("VALLEY_HBM_ACHIEVABLE", 750.0))
 FIT_BW_GBPS = 802.0
 FIT_FIXED_S = 1.63e-3
 FIT_FIXED_FUSED_S = 1.48e-3
+# sub-byte (S4) weight streams sustain only ~70% of the byte rate — the
+# VPU nibble-unpack toll, measured round 5 (exp_int4_ablate noview
+# control: an identical-math int8-width stream lands ON the byte model;
+# exp_s4_mxu: the toll is consumer-independent).  Grouped modes add a
+# blockdiag group-scale term on top of the fused fixed cost.
+FIT_BW_S4_GBPS = 565.0
+FIT_GROUP_S = 0.6e-3
 
 
 def param_bytes(tree) -> int:
@@ -316,6 +323,7 @@ def main():
 
     # decode roofline: every token reads all decoder+head params once
     llama_bytes = param_bytes({"llama": params["llama"]})
+    s4_bytes = 0
     if qmode in ("int4", "int4g", "int4ga8"):
         # the decode scan streams the in-executable int4 VIEW of the
         # int8-stored weights: count those tensors at 0.5 B/weight
@@ -329,6 +337,16 @@ def main():
                    if k in lay and lay[k].dtype == jnp.int8)
         conv += params["llama"]["lm_head"].size
         llama_bytes -= conv // 2
+        s4_bytes = conv // 2
+    elif qmode in ("int4gp", "int4gpa8"):
+        from valley_tpu.ops.quant import QUANT_TARGETS
+
+        lay = params["llama"]["layers"]
+        s4_bytes = sum(lay[k].size for k in QUANT_TARGETS
+                       if k in lay and lay[k].dtype == jnp.uint8)
+        head = params["llama"].get("lm_head")
+        if head is not None and head.dtype == jnp.uint8:
+            s4_bytes += head.size
     roofline_tps = HBM_GBPS * 1e9 / llama_bytes
     # measured speed-of-light context: bytes a token ACTUALLY streams
     # (weights minus the gathered embed table, plus avg KV reads) at the
@@ -342,8 +360,22 @@ def main():
                     * (1 if cache_dtype == jnp.int8 else 2))
     streamed = llama_bytes - embed_bytes + kv_bytes_tok
     ach_tps = HBM_ACH_GBPS * 1e9 / streamed
-    model_tps = 1.0 / (streamed / (FIT_BW_GBPS * 1e9)
-                       + (FIT_FIXED_FUSED_S if fused else FIT_FIXED_S))
+    # 4-bit modes: the byte model does not apply to sub-byte streams —
+    # S4 weight reads sustain only ~565 GB/s (VPU nibble-unpack toll,
+    # measured tools/exp_int4_ablate.py noview control + exp_s4_mxu.py,
+    # round 5), and the grouped modes add a ~0.6 ms/tok blockdiag
+    # group-scale term (noview minus int8ref).  Split the streamed
+    # bytes so phys stays the honest attainment metric under
+    # VALLEY_BENCH_QUANT=int4g/int4gp etc.
+    fixed_s = FIT_FIXED_FUSED_S if fused else FIT_FIXED_S
+    if s4_bytes:
+        model_s = (s4_bytes / (FIT_BW_S4_GBPS * 1e9)
+                   + (streamed - s4_bytes) / (FIT_BW_GBPS * 1e9) + fixed_s)
+        if "g" in qmode:
+            model_s += FIT_GROUP_S
+        model_tps = 1.0 / model_s
+    else:
+        model_tps = 1.0 / (streamed / (FIT_BW_GBPS * 1e9) + fixed_s)
     phys = (f", phys={best_tps / model_tps:.3f} of the "
             f"component-verified decode model") if size != "tiny" else ""
     wdtype = qmode if quant else "bf16"
